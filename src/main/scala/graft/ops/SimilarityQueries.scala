@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication + similarity-search operators over
+  * `documents` and `embeddings`. All hash primitives are md5-derived so the
+  * DuckDB oracle can reproduce them bit-for-bit (portable across engines,
+  * unlike engine-native hash()).
+  *
+  * Scale notes (100 TB): every operator here is a shuffle-on-key plan —
+  * no pairwise O(n²) stage touches more than one LSH/band bucket, and the
+  * per-bucket join keys are exact-match strings, so AQE skew-join handles
+  * hot buckets.
+  */
+object SimilarityQueries {
+
+  import Tables.tbl
+
+  /** Portable 32-bit hash: first 8 hex chars of md5 (big-endian first 4
+    * digest bytes), as a long in [0, 2^32). DuckDB reproduces it from
+    * md5_number_upper (little-endian u64 of the first 8 digest bytes).
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val h32Sql = (e: String) =>
+    s"""CAST(((md5_number_upper($e) & 255) << 24)
+       | | (((md5_number_upper($e) >> 8) & 255) << 16)
+       | | (((md5_number_upper($e) >> 16) & 255) << 8)
+       | | ((md5_number_upper($e) >> 24) & 255) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Word 3-shingles of a document, distinct. Guarded: Spark's sequence()
+    * descends when start > stop, so short docs need an explicit empty array.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= 3,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val numHashes = 8
+  private val simhashBits = 16
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // exact dedup: hash-groupBy, keep lowest doc_id (one shuffle on the
+    // fingerprint — at scale this is the canonical exact-dedup plan)
+    QueryDef(
+      "d1_exact_dedup",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash signatures: per doc, k independent min-hashes over word
+    // 3-shingles (hash_i(s) = h32(i || s)). One narrow map stage — no shuffle.
+    QueryDef(
+      "d2_minhash_signature",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigCols = (0 until numHashes).map { i =>
+          array_min(transform(col("sh"), sh => h32(concat(lit(i + "_"), sh))))
+            .as(s"mh_$i")
+        }
+        docs.select(col("doc_id") +: sigCols: _*)
+      },
+      Some {
+        val sigs = (0 until numHashes).map { i =>
+          s"list_min(list_transform(sh, x -> ${h32Sql(s"'${i}_' || x")})) AS mh_$i"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id, $sigs FROM (
+           |  SELECT doc_id,
+           |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
+           |           FOR s IN [list_slice(toks, i, i+2)
+           |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |        FROM documents)
+           |  WHERE len(toks) >= 3)
+           |WHERE len(sh) > 0""".stripMargin
+      }),
+
+    // MinHash LSH near-dup candidates: band the signature (2 bands × 4
+    // rows), shuffle on band-hash, self-join inside buckets only.
+    QueryDef(
+      "d3_minhash_lsh_pairs",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = docs.select(col("doc_id") +: (0 until numHashes).map { i =>
+          array_min(transform(col("sh"), sh => h32(concat(lit(i + "_"), sh))))
+            .as(s"mh_$i")
+        }: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array(
+            concat_ws("_", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
+            concat_ws("_", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7"))))
+            .as("band"))
+        val a = bands.as("a")
+        val b = bands.as("b")
+        a.join(b, col("a.band") === col("b.band")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some {
+        val sigs = (0 until numHashes).map { i =>
+          s"list_min(list_transform(sh, x -> ${h32Sql(s"'${i}_' || x")})) AS mh_$i"
+        }.mkString(", ")
+        s"""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
+           |           FOR s IN [list_slice(toks, i, i+2)
+           |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |        FROM documents)
+           |  WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id, $sigs FROM sh WHERE len(sh) > 0),
+           |bands AS (
+           |  SELECT doc_id, concat_ws('_', 'b0', mh_0, mh_1, mh_2, mh_3) AS band FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, concat_ws('_', 'b1', mh_4, mh_5, mh_6, mh_7) AS band FROM sig)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
+      }),
+
+    // SimHash: per-token 16-bit hash, per-bit majority vote → fingerprint.
+    // explode(tokens) → explode(bits) → groupBy: pure shuffle aggregation.
+    QueryDef(
+      "d4_simhash",
+      (s, dir) => {
+        val toks = tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .withColumn("th", h32(col("tok")))
+        val bits = toks.select(col("doc_id"),
+          explode(sequence(lit(0), lit(simhashBits - 1))).as("bit"),
+          col("th"))
+          .withColumn("vote",
+            when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
+        bits.groupBy("doc_id", "bit")
+          .agg(sum("vote").as("v"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("v") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, ${h32Sql("tok")} AS th
+              |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              |        FROM documents)),
+              |bits AS (
+              |  SELECT doc_id, bit,
+              |         CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+              |  FROM tok, (SELECT unnest(range(0, $simhashBits)) AS bit)),
+              |votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
+              |SELECT doc_id,
+              |       sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+              |FROM votes GROUP BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard similarity for LSH candidate pairs (verify stage of
+    // near-dup dedup): explode shingles, shuffle on shingle, count
+    // intersections, compute |A∩B| / |A∪B|.
+    QueryDef(
+      "d5_ngram_jaccard",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        val inter = ex.as("a").join(ex.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+          .filter(col("n_common") >= 5)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("n_common") /
+              (col("na") + col("nb") - col("n_common")).cast("double"), 4).as("jaccard"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
+             |           FOR s IN [list_slice(toks, i, i+2)
+             |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             |        FROM documents WHERE doc_id < 100)
+             |  WHERE len(toks) >= 3),
+             |docs AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+             |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(n_common / CAST(na + nb - n_common AS DOUBLE), 4) AS jaccard
+             |FROM inter
+             |JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
+             |JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
+             |WHERE n_common >= 5""".stripMargin)),
+
+    // brute-force cosine top-k ANN baseline: query = embedding of vec_id 0,
+    // broadcast to every partition; double-precision sequential dot product.
+    QueryDef(
+      "ann_cosine_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("e").as("qe"))
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(dot(col("e"), col("qe")) /
+              (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))), 4)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+             |SELECT vec_id,
+             |       round(list_dot_product(e, qe) /
+             |             (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+             |FROM e, q
+             |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // LSH-bucketed ANN (the scale path): 8 md5-derived hyperplanes → 8-bit
+    // bucket; candidates share the query's bucket; exact cosine re-rank
+    // inside the bucket only. At 100 TB the bucket join replaces the cross
+    // join — probe side shrinks by ~2^8.
+    QueryDef(
+      "ann_lsh_bucketed",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        // plane p component j in [-1, 1): deterministic from md5(p_j)
+        def planeComp(p: Int): Column =
+          transform(sequence(lit(0), size(col("e")) - 1),
+            j => (h32(concat(lit(p + "_"), j)) / lit(2147483648.0)) - 1.0)
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val bucketed = emb.withColumn("bucket",
+          (0 until 8).map(p =>
+            when(dot(col("e"), planeComp(p)) >= 0,
+              lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        val q = bucketed.filter(col("vec_id") === 0)
+          .select(col("e").as("qe"), col("bucket").as("qbucket"))
+        bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+          .select(col("vec_id"), col("bucket"),
+            round(dot(col("e"), col("qe")) /
+              (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))), 4)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some {
+        val planes = (0 until 8).map { p =>
+          s"""CASE WHEN list_dot_product(e,
+             |  [(${h32Sql(s"'${p}_' || (j - 1)")} / 2147483648.0) - 1.0
+             |   FOR j IN range(1, len(e) + 1)]) >= 0
+             |THEN ${1L << p}::BIGINT ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, $planes AS bucket FROM e),
+           |q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+           |SELECT vec_id, bucket,
+           |       round(list_dot_product(e, qe) /
+           |             (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+           |FROM b, q WHERE bucket = qbucket
+           |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Training-data text-analysis operators over the `documents` table:
+  * token counting, quality scoring, fingerprinting, language-ID. All
+  * codegen-friendly built-in expressions — no UDFs in the hot path.
+  */
+object TextQueries {
+
+  import Tables.tbl
+
+  /** Stopword lists per language for the n-gram/stopword langid heuristic.
+    * Tiny on purpose: broadcast-literal sized, deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "no"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // token counting: whitespace tokenization (BPE-ish regex split)
+    QueryDef(
+      "t1_token_count",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+            length(col("text")).as("len_chars"),
+            col("n_chars")),
+      Some("""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |       length(text) AS len_chars, n_chars
+             |FROM documents""".stripMargin)),
+
+    // quality scoring: length / punctuation / stopword ratios
+    QueryDef(
+      "t2_quality_score",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val en = TextQueries.stopwords("en")
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).as("len"),
+            round(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+              / length(col("text")).cast("double"), 4).as("punct_ratio"),
+            round(size(filter(toks, t => t.isin(en: _*)))
+              / size(toks).cast("double"), 4).as("stopword_ratio"))
+      },
+      Some(s"""SELECT doc_id, length(text) AS len,
+              |  round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+              |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+              |  round(len(list_filter(string_split(text, ' '),
+              |            t -> t IN (${TextQueries.stopwords("en").map("'" + _ + "'").mkString(",")})))
+              |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
+              |FROM documents""".stripMargin)),
+
+    // document fingerprinting: md5 over whitespace-normalized lowercase text
+    QueryDef(
+      "t3_fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp")),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin)),
+
+    // language-ID: stopword-hit voting, argmax over languages (deterministic
+    // tie-break by language code). Pure expressions → whole-stage codegen.
+    QueryDef(
+      "t4_lang_id",
+      (s, dir) => {
+        val toks = split(lower(col("text")), " ")
+        val scored = tbl(s, dir, "documents")
+          .select(col("doc_id") +: col("lang").as("true_lang") +:
+            TextQueries.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+              size(filter(toks, t => t.isin(ws: _*))).as(s"sc_$l")
+            }: _*)
+        val langs = TextQueries.stopwords.keys.toSeq.sorted
+        // argmax via greatest + chained when (first lang in sorted order wins ties)
+        val maxSc = greatest(langs.map(l => col(s"sc_$l")): _*)
+        val pred = langs.foldRight(lit("und")) { (l, acc) =>
+          when(col(s"sc_$l") === maxSc && maxSc > 0, lit(l)).otherwise(acc)
+        }
+        scored.select(col("doc_id"), col("true_lang"), pred.as("pred_lang"))
+      },
+      Some {
+        val langs = TextQueries.stopwords.keys.toSeq.sorted
+        val scores = langs.map { l =>
+          val ws = TextQueries.stopwords(l).map("'" + _ + "'").mkString(",")
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($ws))) AS sc_$l"
+        }.mkString(",\n  ")
+        val maxSc = s"greatest(${langs.map(l => s"sc_$l").mkString(",")})"
+        val pred = langs.foldRight("'und'") { (l, acc) =>
+          s"CASE WHEN sc_$l = $maxSc AND $maxSc > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id, true_lang, $pred AS pred_lang FROM (
+           |  SELECT doc_id, lang AS true_lang,
+           |  $scores
+           |  FROM documents)""".stripMargin
+      })
+  )
+}
