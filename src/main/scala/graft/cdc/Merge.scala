@@ -1,0 +1,275 @@
+package graft.cdc
+
+import graft.core.{SchemaRegistry, Schemas}
+import graft.lake.{DataFile, LakeTable, Snapshot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Lineage emitted per applied batch (north star: per-partition source LSN
+  * range, rows applied, conflict count).
+  */
+final case class MergeStats(
+    epoch: Long,
+    applied: Boolean,
+    eventsIn: Long,
+    rowsApplied: Long,
+    conflicts: Long,
+    deletes: Long,
+    lsnMin: Long,
+    lsnMax: Long,
+    touchedBuckets: Int,
+    wallMs: Long)
+
+/** Join-free copy-on-write MERGE INTO the lake table (SURVEY.md §4.3).
+  *
+  * Per micro-batch:
+  *  1. exactly-once gate: skip if the batch epoch is already committed
+  *     (reference analog: the completed-set scan,
+  *     /root/reference/upload_data/Submissions/round3/make_round3_prediction_files.R:225-241);
+  *  2. schema evolution: if the batch declares a newer registry version,
+  *     the snapshot's schemaId advances (old files stay, aligned on read —
+  *     reference analog: the V3→V4 dataset switch);
+  *  3. batch dedup: latest-per-key via combine-based aggregation
+  *     (skew-immune — see [[Dedup]]);
+  *  4. target pruning: only data files whose key bucket appears in the
+  *     batch are rewritten; untouched files carry forward by reference
+  *     (the reference's anti-join gate J5 generalized to file granularity);
+  *  5. resolution: union(current, batch-upserts) → max(struct(warc_ts,
+  *     lsn, payload)) per url — last-write-wins incl. current rows; a
+  *     winning 'D' event drops the key;
+  *  6. two-phase publish: write bucket-partitioned parquet under a fresh
+  *     commit dir, then atomically publish the manifest with epoch + LSN
+  *     range + lineage stamped into the snapshot summary.
+  *
+  * Scale notes: the only wide exchanges are (a) the batch dedup hash-agg
+  * (map-side combined) and (b) the union resolution hash-agg, both keyed
+  * by url and both skew-free after dedup (≤ 1 batch row + 1 current row
+  * per url). Bucket count bounds rewrite amplification; AQE coalesces the
+  * post-agg partitions.
+  */
+object Merge {
+
+  def bucketOf(url: Column, numBuckets: Int): Column =
+    pmod(xxhash64(url), lit(numBuckets)).cast("int")
+
+  /** Apply one change batch (raw events, possibly with duplicates) at the
+    * given epoch. `batchSchemaVersion` is the registry version the batch's
+    * producer declared.
+    */
+  private val debug = sys.env.get("GRAFT_MERGE_DEBUG").contains("true")
+  private def dbg(epoch: Long, phase: String, t: Long): Long = {
+    val now = System.nanoTime()
+    if (debug) println(f"[merge $epoch] $phase: ${(now - t) / 1e6}%.0fms")
+    now
+  }
+
+  /** Table-independent key pass for a batch: per-url argmax + lineage
+    * pre-aggregates over (url, warc_ts, lsn, op) only. Because it never
+    * reads the table, a driver can compute it for batch k+1 WHILE batch k
+    * is still writing (pipelined micro-batches — see CdcStream): persist
+    * the result and pass it to applyBatch as `preparedKeys`.
+    */
+  def prepareKeys(rawBatch: DataFrame): DataFrame =
+    rawBatch
+      .select(col("url").cast("string").as("url"),
+        col("warc_ts").cast("timestamp").as("warc_ts"),
+        col("lsn").cast("long").as("lsn"), col("op"))
+      .groupBy("url")
+      .agg(max(struct(col("warc_ts"), col("lsn"))).as("win"),
+        count(lit(1)).as("cnt"),
+        min("lsn").as("lsnMin"), max("lsn").as("lsnMax"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("nDel"))
+
+  def applyBatch(spark: SparkSession, table: LakeTable, rawBatch: DataFrame,
+      epoch: Long, batchSchemaVersion: Int,
+      batchBytesHint: Option[Long] = None,
+      preparedKeys: Option[DataFrame] = None): MergeStats = {
+    val t0 = System.nanoTime()
+    var tp = t0
+    val snap = table.currentSnapshot
+
+    // 1. exactly-once epoch gate
+    if (table.lastCommittedEpoch.exists(_ >= epoch)) {
+      preparedKeys.foreach(_.unpersist())
+      return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
+        (System.nanoTime() - t0) / 1000000)
+    }
+
+    // 2. schema evolution via the registry
+    val newSchemaId = math.max(snap.schemaId, batchSchemaVersion)
+    if (newSchemaId != snap.schemaId) {
+      val ok = SchemaRegistry.canEvolve(
+        SchemaRegistry.schemaFor(snap.schemaId), SchemaRegistry.schemaFor(newSchemaId))
+      require(ok, s"illegal schema evolution ${snap.schemaId} -> $newSchemaId")
+    }
+    val target = table.schemaFor(newSchemaId) // incl. _lsn/_op
+    val nb = snap.numBuckets
+    val aligned = alignBatch(rawBatch, newSchemaId)
+
+    // key-only argmax subplan (batch dedup without moving payload): a
+    // narrow scan of (url, warc_ts, lsn, op) — parquet prunes html/text —
+    // aggregated per url with map-side partial combine, so a hot url with
+    // 10^6 duplicates pre-combines per task (skew-immune, no salting
+    // needed). Shuffled bytes: O(distinct urls × 32B), not O(batch payload).
+    val perKeyPlan = preparedKeys.getOrElse(prepareKeys(aligned))
+    def statsOf(pk: DataFrame) = pk.agg(
+      sum("cnt").as("n"),
+      min("lsnMin").as("lsnMin"), max("lsnMax").as("lsnMax"),
+      count(lit(1)).as("nKeys"),
+      sum("nDel").as("nDeleteEvents"),
+      collect_set(bucketOf(col("url"), nb)).as("buckets"))
+
+    // 3. adaptive pruning. A batch that is small next to the table prunes
+    //    target files by key bucket — that needs the batch key set FIRST
+    //    (a blocking stats job). A batch comparable to the table touches
+    //    ~every bucket anyway, so pruning only adds a barrier: full
+    //    rewrite instead, with the lineage stats job running ASYNC behind
+    //    the main job and joined before the manifest publish.
+    val tableBytes = snap.files.map(_.bytes).sum
+    val fullRewrite = batchBytesHint.exists(b => b > 0 && b * 4 > tableBytes)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val (stats, touched, currentRaw, statsWall) = if (fullRewrite) {
+      val f = Future { statsOf(perKeyPlan).head() }
+      val allBuckets = (0 until nb).toSet
+      (f, allBuckets, table.readBuckets(snap, allBuckets), false)
+    } else {
+      perKeyPlan.persist()
+      val st = statsOf(perKeyPlan).head()
+      tp = dbg(epoch, "stats-agg", tp)
+      val n = Option(st.getAs[Long]("n")).getOrElse(0L)
+      if (n == 0) {
+        perKeyPlan.unpersist()
+        preparedKeys.foreach(_.unpersist())
+        return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
+          (System.nanoTime() - t0) / 1000000)
+      }
+      val tb = st.getAs[scala.collection.Seq[Int]]("buckets").toSet
+      (Future.successful(st), tb, table.readBuckets(snap, tb), true)
+    }
+
+    // 4. align current rows (old snapshot schema) to the evolved target:
+    //    added columns null-backfill, narrow types widen
+    val current = currentRaw.select(target.fields.map { f =>
+      if (currentRaw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+    // 5. join-back: fetch only the winning events\u2019 payloads. LSN is
+    //    globally unique, so a semi-join on the winners\u2019 LSN set selects
+    //    exactly one event per url; the batch payload is read once and
+    //    NEVER shuffled (the winner set broadcasts while \u2264 ~10^7 keys per
+    //    batch; beyond that AQE falls back to a shuffled join). Then one
+    //    small latest-wins agg resolves winners against current rows.
+    //    Winning deletes are KEPT as tombstones (_op = 'D') so a late
+    //    upsert older than a delete cannot resurrect the key — final state
+    //    is a pure argmax over the whole log, independent of batch
+    //    boundaries (replay convergence, §7.4 #1).
+    val winnerLsns = perKeyPlan.select(col("win.lsn").as("lsn"))
+    val batchWinners = aligned
+      .join(broadcast(winnerLsns), Seq("lsn"), "left_semi")
+      .withColumn(Schemas.LsnCol, col("lsn"))
+      .withColumn(Schemas.OpCol, when(col("op") === "D", "D").otherwise("U"))
+      .select(target.fields.map(f => col(f.name)).toSeq: _*)
+    val resolved = Dedup.latestPerKeyAgg(
+      current.unionByName(batchWinners),
+      "url", Seq("warc_ts", Schemas.LsnCol))
+    val survivors = resolved
+      .withColumn("_bucket", bucketOf(col("url"), nb))
+
+    // 6a. write data files (phase 1): one exchange clusters rows by bucket
+    //     so each bucket lands in few files (bounded write amplification)
+    val commitDir = table.newCommitDir(epoch)
+    survivors
+      .repartition(math.max(1, touched.size), col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    tp = dbg(epoch, "resolve+write", tp)
+
+    // collect written files + row counts from parquet footers (no second
+    // scan of the data)
+    val written = listWritten(commitDir, newSchemaId)
+    tp = dbg(epoch, "footers", tp)
+    val rowsApplied = written.map(_.rows).sum
+
+    // join the (possibly async) lineage stats before publishing
+    val st = Await.result(stats, Duration.Inf)
+    val eventsIn = Option(st.getAs[Long]("n")).getOrElse(0L)
+    val conflicts = eventsIn - st.getAs[Long]("nKeys")
+    val deletes = st.getAs[Long]("nDeleteEvents")
+
+    // 6b. publish manifest (phase 2, atomic)
+    val carried = snap.files.filterNot(f => touched.contains(f.bucket))
+    val summary = Map(
+      "batch-epoch" -> epoch.toString,
+      "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,
+      "source-lsn-max" -> st.getAs[Long]("lsnMax").toString,
+      "events-in" -> eventsIn.toString,
+      "rows-applied" -> rowsApplied.toString,
+      "conflict-count" -> conflicts.toString,
+      "touched-buckets" -> touched.size.toString)
+    table.commit(Snapshot(snap.version + 1, newSchemaId, nb,
+      carried ++ written, summary))
+    perKeyPlan.unpersist() // no-op unless persisted (prune path / prepared)
+    tp = dbg(epoch, "commit", tp)
+
+    MergeStats(epoch, applied = true, eventsIn, rowsApplied, conflicts,
+      deletes, st.getAs[Long]("lsnMin"), st.getAs[Long]("lsnMax"),
+      touched.size, (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Align a producer-versioned batch to the (evolved) registry schema:
+    * missing columns null-backfilled, narrow types widened — BigQuery
+    * NULLABLE semantics (SURVEY.md §2.11 T7).
+    */
+  private def alignBatch(batch: DataFrame, schemaId: Int): DataFrame = {
+    val dataCols = SchemaRegistry.schemaFor(schemaId).fields
+    val keep = Seq(col("lsn"), col("op")) ++ dataCols.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    batch.select(keep: _*)
+  }
+
+  private def listWritten(commitDir: String, schemaId: Int): Seq[DataFile] = {
+    val root = Paths.get(commitDir)
+    val BucketDir = "_bucket=(\\d+)".r
+    val paths = Files.list(root).iterator().asScala.toSeq.flatMap { sub =>
+      sub.getFileName.toString match {
+        case BucketDir(b) =>
+          Files.list(sub).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => (p, b.toInt))
+        case _ => Nil
+      }
+    }
+    // footer reads are driver-side IO — done concurrently, they'd otherwise
+    // add O(numBuckets × open-latency) of fixed serial time per batch
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, paths.size)))
+    try {
+      val futs = paths.map { case (p, b) =>
+        pool.submit(new java.util.concurrent.Callable[DataFile] {
+          def call(): DataFile =
+            DataFile(p.toString, b, footerRows(p), Files.size(p), schemaId)
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Row count from the parquet footer — metadata only, no data scan. */
+  private def footerRows(p: Path): Long = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

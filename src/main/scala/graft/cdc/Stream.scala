@@ -1,0 +1,138 @@
+package graft.cdc
+
+import graft.core.SchemaRegistry
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** The binlog tail (SURVEY.md §2.11): two drivers over the same
+  * [[Merge.applyBatch]] core.
+  *
+  *  - [[tail]]: Structured Streaming file source → foreachBatch(dedup ∘
+  *    merge). Spark's checkpoint makes batch assignment deterministic
+  *    (fixed maxFilesPerTrigger); the epoch gate in the merge makes the
+  *    replayed batch after a crash a no-op → exactly-once end to end.
+  *  - [[replayChunks]]: chunk-ordered replay for mixed-schema logs — each
+  *    chunk file is read with its own footer schema and applied at epoch =
+  *    chunk index, exercising registry evolution mid-log. Resume needs no
+  *    separate checkpoint: the epoch gate alone skips committed chunks.
+  *    (Reference analog: the completed-set resume scan + replay bound
+  *    `objectId <= 9692809`,
+  *    /root/reference/project_setup/round3_setup/extract_submission_files.R:19.)
+  */
+object CdcStream {
+
+  /** Structured Streaming tail of a uniform-schema log directory. */
+  def tail(spark: SparkSession, logDir: String, tableDir: String,
+      checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val table = LakeTable.load(spark, tableDir)
+    val eventSchema = chunkSchema(schemaVersion)
+    val events = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(logDir)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = Merge.applyBatch(batch.sparkSession, table, batch,
+          epoch = batchId, batchSchemaVersion = schemaVersion)
+        Metrics.append(tableDir, stats)
+        ()
+      }
+      .start()
+  }
+
+  /** Blocking convenience: tail until the log is drained. */
+  def tailAll(spark: SparkSession, logDir: String, tableDir: String,
+      checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = tail(spark, logDir, tableDir, checkpointDir, schemaVersion,
+      maxFilesPerTrigger)
+    q.awaitTermination()
+  }
+
+  /** Chunk-ordered replay of a (possibly mixed-schema) log. Chunks are the
+    * `chunk-<i>-v<v>.parquet` files written by ChangeGen.writeLog; epoch =
+    * chunk index i, schema version = v. Restart-safe via the epoch gate.
+    */
+  def replayChunks(spark: SparkSession, logDir: String,
+      tableDir: String, maxChunks: Int = Int.MaxValue): Seq[MergeStats] = {
+    val table = LakeTable.load(spark, tableDir)
+    val Chunk = "chunk-(\\d+)-v(\\d+)\\.parquet".r
+    val chunks = Files.list(Paths.get(logDir)).iterator().asScala
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case Chunk(i, v) => Some((i.toInt, v.toInt, p.toString))
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1).take(maxChunks)
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def readChunk(v: Int, path: String) =
+      // explicit per-version schema: no per-batch footer inference on the
+      // driver (a serial cost on every micro-batch)
+      spark.read.schema(chunkSchema(v)).parquet(path)
+    // pipelined micro-batches: batch k+1's table-independent key pass
+    // (dedup argmax + lineage pre-agg) is kicked off in the background
+    // while batch k resolves and writes — hides the narrow scan behind
+    // the wide one without breaking the sequential snapshot chain
+    var prepared: Option[DataFrame] = None
+    chunks.zipWithIndex.map { case ((i, v, path), idx) =>
+      val batch = readChunk(v, path)
+      val pk = prepared
+      prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
+        val nextPk = Merge.prepareKeys(readChunk(nv, np)).persist()
+        Future { nextPk.count() } // materialize the cache in the background
+        nextPk
+      }
+      val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
+        batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
+        preparedKeys = pk)
+      Metrics.append(tableDir, stats)
+      stats
+    }
+  }
+
+  private def pathBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.map(f => Files.size(f)).sum
+    else Files.size(p)
+  }
+
+  /** The event schema a producer at registry version v emits. */
+  def chunkSchema(v: Int): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val data = SchemaRegistry.schemaFor(v)
+    StructType(
+      Seq(StructField("lsn", LongType, nullable = false),
+        StructField("op", StringType, nullable = false)) ++
+        data.fields ++
+        Seq(StructField("schema_version", IntegerType, nullable = false)))
+  }
+}
+
+/** Throughput/lag + lineage metrics sink: one JSON line per applied batch
+  * under <tableDir>/metrics/metrics.jsonl (north star: metrics sink).
+  */
+object Metrics {
+  def append(tableDir: String, s: MergeStats): Unit = synchronized {
+    val dir = Paths.get(tableDir, "metrics")
+    Files.createDirectories(dir)
+    val evps = if (s.wallMs > 0) s.eventsIn * 1000.0 / s.wallMs else 0.0
+    val line =
+      s"""{"epoch":${s.epoch},"applied":${s.applied},"events_in":${s.eventsIn},""" +
+        s""""rows_applied":${s.rowsApplied},"conflicts":${s.conflicts},""" +
+        s""""deletes":${s.deletes},"lsn_min":${s.lsnMin},"lsn_max":${s.lsnMax},""" +
+        s""""touched_buckets":${s.touchedBuckets},"wall_ms":${s.wallMs},""" +
+        s""""events_per_sec":${"%.1f".format(evps)}}""" + "\n"
+    Files.writeString(dir.resolve("metrics.jsonl"), line,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}
