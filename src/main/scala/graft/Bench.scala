@@ -97,8 +97,10 @@ object Bench {
 
     val lo = 2
     val mid = 8
-    val epsLo = cdcRunForked(lo, logDir, nEvents)
-    val epsMid = cdcRunForked(mid, logDir, nEvents)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "2").toInt
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val epsLo = mean((1 to reps).map(_ => cdcRunForked(lo, logDir, nEvents)))
+    val epsMid = mean((1 to reps).map(_ => cdcRunForked(mid, logDir, nEvents)))
     val epsHi = if (cpus > mid) cdcRunForked(cpus, logDir, nEvents) else epsMid
     val eff = (epsMid / epsLo) / (mid.toDouble / lo)
 

@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+    RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      CdcQueries.defs ++ ReaderQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

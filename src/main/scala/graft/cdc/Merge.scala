@@ -20,7 +20,8 @@ final case class MergeStats(
     lsnMin: Long,
     lsnMax: Long,
     touchedBuckets: Int,
-    wallMs: Long)
+    wallMs: Long,
+    quarantined: Long = 0L)
 
 /** Join-free copy-on-write MERGE INTO the lake table (SURVEY.md §4.3).
   *
@@ -85,7 +86,8 @@ object Merge {
   def applyBatch(spark: SparkSession, table: LakeTable, rawBatch: DataFrame,
       epoch: Long, batchSchemaVersion: Int,
       batchBytesHint: Option[Long] = None,
-      preparedKeys: Option[DataFrame] = None): MergeStats = {
+      preparedKeys: Option[DataFrame] = None,
+      quarantineDir: Option[String] = None): MergeStats = {
     val t0 = System.nanoTime()
     var tp = t0
     val snap = table.currentSnapshot
@@ -171,8 +173,28 @@ object Merge {
     //    is a pure argmax over the whole log, independent of batch
     //    boundaries (replay convergence, §7.4 #1).
     val winnerLsns = perKeyPlan.select(col("win.lsn").as("lsn"))
-    val batchWinners = aligned
-      .join(broadcast(winnerLsns), Seq("lsn"), "left_semi")
+    val joined = aligned.join(broadcast(winnerLsns), Seq("lsn"), "left_semi")
+    // T4 quarantine / dead-letter (reference analog: problem_submissions,
+    // make_round3_prediction_files.R:54-56,237): a poison event — one whose
+    // html does NOT re-extract byte-identically to its text — is routed to
+    // a side table instead of killing the job or corrupting the invariant.
+    // The key keeps its previous state. Checked at the winners stage where
+    // full columns are already decoded; deletes (null html) are exempt.
+    val poison = quarantineDir.map { _ =>
+      col("html").isNotNull &&
+        graft.core.TextHtml.extractText(col("html")) =!= col("text")
+    }
+    val quarantined: Long = (poison, quarantineDir) match {
+      case (Some(bad), Some(qd)) =>
+        val q = joined.filter(bad)
+        q.write.mode("append").parquet(qd)
+        // count from footers of what we just appended is ambiguous across
+        // batches; count the (tiny) winners-side poison set directly
+        q.count()
+      case _ => 0L
+    }
+    val clean = poison.map(bad => joined.filter(!bad)).getOrElse(joined)
+    val batchWinners = clean
       .withColumn(Schemas.LsnCol, col("lsn"))
       .withColumn(Schemas.OpCol, when(col("op") === "D", "D").otherwise("U"))
       .select(target.fields.map(f => col(f.name)).toSeq: _*)
@@ -211,6 +233,7 @@ object Merge {
       "events-in" -> eventsIn.toString,
       "rows-applied" -> rowsApplied.toString,
       "conflict-count" -> conflicts.toString,
+      "quarantine-count" -> quarantined.toString,
       "touched-buckets" -> touched.size.toString)
     table.commit(Snapshot(snap.version + 1, newSchemaId, nb,
       carried ++ written, summary))
@@ -219,7 +242,7 @@ object Merge {
 
     MergeStats(epoch, applied = true, eventsIn, rowsApplied, conflicts,
       deletes, st.getAs[Long]("lsnMin"), st.getAs[Long]("lsnMax"),
-      touched.size, (System.nanoTime() - t0) / 1000000)
+      touched.size, (System.nanoTime() - t0) / 1000000, quarantined)
   }
 
   /** Align a producer-versioned batch to the (evolved) registry schema:
@@ -227,6 +250,14 @@ object Merge {
     * NULLABLE semantics (SURVEY.md §2.11 T7).
     */
   private def alignBatch(batch: DataFrame, schemaId: Int): DataFrame = {
+    // F10 schema assertion (ref: check_columns,
+    // make_round3_prediction_files.R:217-223): the change-event key and
+    // ordering columns are REQUIRED; missing ones are a caller bug, not
+    // something to null-backfill
+    val required = Seq("lsn", "op", "url", "warc_ts")
+    val missing = required.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"batch has missing required columns: " +
+      missing.mkString(", "))
     val dataCols = SchemaRegistry.schemaFor(schemaId).fields
     val keep = Seq(col("lsn"), col("op")) ++ dataCols.map { f =>
       if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

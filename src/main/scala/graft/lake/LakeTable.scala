@@ -169,6 +169,15 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     next
   }
 
+  /** Metadata-only commit (reference analog K7: annotation write-back,
+    * reannotate_files.R:11-19): new snapshot, same data files and schema,
+    * updated summary properties.
+    */
+  def updateProperties(props: Map[String, String]): Snapshot = {
+    val s = currentSnapshot
+    commit(Snapshot(s.version + 1, s.schemaId, s.numBuckets, s.files, props))
+  }
+
   /** Highest batch epoch already committed — the exactly-once gate. */
   def lastCommittedEpoch: Option[Long] = {
     val v = currentVersion

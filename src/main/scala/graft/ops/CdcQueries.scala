@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.cdc.Merge
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable CDC end-to-end: treat the `events` table as a change
+  * log keyed by user_id (event_id = LSN, ts = version time), split it into
+  * three epochs, MERGE each into a fresh lake table, read the final state
+  * back. The DuckDB oracle is the pure argmax the engine must converge to
+  * — so the whole dedup + tombstone + multi-batch merge path is verified
+  * by the driver, not only by our own tests.
+  *
+  * Mapping: url ← user_id, warc_ts ← ts, lsn ← event_id, text ← props;
+  * op: 'error' events are deletes, the rest upserts (exercises tombstone
+  * routing; reference analog W1+J5+K1,
+  * /root/reference/project_setup/late_setup/extract_submission_files.R:93-112).
+  */
+object CdcQueries {
+
+  import Tables.tbl
+
+  private def asChangeLog(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(
+      col("event_id").as("lsn"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      concat(lit("user:"), col("user_id")).as("url"),
+      col("ts").cast("timestamp").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("props").as("text"),
+      col("event_type").as("lang"),
+      col("value").cast("long").as("content_len"),
+      lit(3).as("schema_version"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "cdc_merge_events",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val cut1 = maxLsn / 3
+        val cut2 = 2 * maxLsn / 3
+        val tableDir = java.nio.file.Files
+          .createTempDirectory("cdc-merge-events").toString
+        val t = LakeTable.create(s, tableDir, schemaId = 3, numBuckets = 8)
+        Seq(
+          log.filter(col("lsn") <= cut1),
+          log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
+          log.filter(col("lsn") > cut2)
+        ).zipWithIndex.foreach { case (batch, epoch) =>
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+        }
+        log.unpersist()
+        t.readUser().select(
+          col("url").as("user_key"),
+          // back to NTZ for parquet/oracle parity (source ts is NTZ)
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("text").as("last_props"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"))
+      },
+      Some("""SELECT 'user:' || user_id AS user_key, ts AS last_ts,
+             |       props AS last_props, event_type AS last_type,
+             |       CAST(floor(value) AS BIGINT) AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin))
+  )
+}

@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity readers (SURVEY.md §2.1) that Spark has no native
+  * format for, re-expressed as pure DataFrame pipelines over `text` /
+  * `csv` sources. Each query SYNTHESIZES its input file deterministically
+  * from a testdata table, runs the reader, and lets the DuckDB oracle
+  * recompute the expected rows straight from the source table — so the
+  * parse logic itself is driver-verified.
+  */
+object ReaderQueries {
+
+  import Tables.tbl
+
+  /** S5: VCF reader — skip `##` preamble, locate the literal `#CHROM`
+    * header, then parse tab-separated records
+    * (ref: upload_data/Submissions/round1/upload_round1_variants.R:29-35
+    * `fread(skip = "#CHROM", sep = "\t")`).
+    */
+  def readVcf(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    // drop meta lines; the header names the columns but is fixed per spec
+    val records = lines.filter(!col("value").startsWith("#"))
+    val parts = split(col("value"), "\t")
+    records.select(
+      parts.getItem(0).as("chrom"),
+      parts.getItem(1).cast("long").as("pos"),
+      parts.getItem(2).as("id"),
+      parts.getItem(3).as("ref"),
+      parts.getItem(4).as("alt"))
+  }
+
+  /** S3: CSV reader with an NA vocabulary (ref: utils.R:11-17, null vocab
+    * `c("NA","na","n/a","")` round1/make_round1_prediction_files.R:14).
+    */
+  def readCsvNaVocab(spark: SparkSession, path: String,
+      naVocab: Seq[String] = Seq("NA", "na", "n/a", "")): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    raw.select(raw.columns.map { c =>
+      when(col(c).isin(naVocab: _*), lit(null)).otherwise(col(c)).as(c)
+    }.toSeq: _*)
+  }
+
+  /** S7-style document parse as a generator (UDTF analog): one document
+    * string → N key/value rows. Implemented as explode over a pure
+    * expression parse — no Catalyst Generator needed (SURVEY.md §2.12).
+    */
+  def parseDocKv(df: DataFrame, docCol: String): DataFrame =
+    df.select(col("*"),
+        explode(split(col(docCol), "\n")).as("_line"))
+      .filter(col("_line").contains(": "))
+      .withColumn("key", split(col("_line"), ": ").getItem(0))
+      .withColumn("value", split(col("_line"), ": ").getItem(1))
+      .drop("_line", docCol)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // S5: part table → synthetic VCF text file → header-skip parse
+    QueryDef(
+      "s5_vcf_reader",
+      (s, dir) => {
+        val vcfDir = java.nio.file.Files.createTempDirectory("vcf").toString + "/f"
+        val body = tbl(s, dir, "part").select(
+          concat_ws("\t", col("p_brand"), col("p_partkey"), col("p_name"),
+            col("p_type"), upper(col("p_name"))).as("value"))
+        val header = s.range(1).select(
+          lit("##fileformat=VCFv4.2\n##source=graft\n#CHROM\tPOS\tID\tREF\tALT")
+            .as("value"))
+        header.unionAll(body).coalesce(1).write.mode("overwrite").text(vcfDir)
+        readVcf(s, vcfDir)
+      },
+      Some("""SELECT p_brand AS chrom, p_partkey AS pos, p_name AS id,
+             |       p_type AS ref, upper(p_name) AS alt
+             |FROM part""".stripMargin)),
+
+    // S3: nation table → CSV with injected NA markers → null-vocab read
+    QueryDef(
+      "s3_csv_na_vocab",
+      (s, dir) => {
+        val csvDir = java.nio.file.Files.createTempDirectory("csvna").toString + "/f"
+        tbl(s, dir, "nation").select(
+          col("n_nationkey").cast("string").as("n_nationkey"),
+          // every third name becomes an NA marker
+          when(col("n_nationkey") % 3 === 0, "n/a")
+            .otherwise(col("n_name")).as("n_name"),
+          col("n_regionkey").cast("string").as("n_regionkey"))
+          .coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(csvDir)
+        readCsvNaVocab(s, csvDir)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |       CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS n_name,
+             |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation""".stripMargin)),
+
+    // S7: synthetic YAML-ish documents from orders → key/value row pairs
+    // (ref: round3/make_round3_yaml_files.R:45-90 — one doc → Steps +
+    // Parameters rows)
+    QueryDef(
+      "s7_doc_parse",
+      (s, dir) => {
+        val docs = tbl(s, dir, "orders").filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"),
+            concat(lit("status: "), col("o_orderstatus"), lit("\n"),
+              lit("priority: "), col("o_orderpriority")).as("doc"))
+        parseDocKv(docs, "doc")
+      },
+      Some("""SELECT o_orderkey, 'status' AS key, o_orderstatus AS value
+             |FROM orders WHERE o_orderkey < 1000
+             |UNION ALL
+             |SELECT o_orderkey, 'priority' AS key, o_orderpriority AS value
+             |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
+
+    // P4: drop all-null columns in one aggregate pass
+    // (ref: remove_empty_cols, round1/make_round1_prediction_files.R:41-43)
+    QueryDef(
+      "p4_drop_null_cols",
+      (s, dir) => {
+        val withJunk = tbl(s, dir, "events")
+          .withColumn("junk_a", lit(null).cast("string"))
+          .withColumn("junk_b", lit(null).cast("double"))
+        val counts = withJunk.select(withJunk.columns.map(c =>
+          count(col(c)).as(c)).toSeq: _*).head()
+        val keep = withJunk.columns.filter(c => counts.getAs[Long](c) > 0)
+        withJunk.select(keep.map(col).toSeq: _*)
+      },
+      Some("SELECT * FROM events")),
+
+    // R6: nest non-key columns into a struct, then unnest back
+    // (ref: reannotate_files.R:17 `nest(annotations = -entity)`)
+    QueryDef(
+      "r6_nest_struct",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(col("event_id"),
+            struct(col("user_id"), col("event_type"), col("value")).as("payload"))
+          .select(col("event_id"), col("payload.user_id"),
+            col("payload.event_type"), col("payload.value")),
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
+
+    // F3: substring insert — '*' after the first char
+    // (ref: Validations/upload_round2_patients.R:29-32)
+    QueryDef(
+      "f3_substring_insert",
+      (s, dir) =>
+        tbl(s, dir, "customer")
+          .select(col("c_custkey"),
+            concat(substring(col("c_mktsegment"), 1, 1), lit("*"),
+              substring(col("c_mktsegment"), 2, 1000)).as("marked")),
+      Some("""SELECT c_custkey,
+             |       substr(c_mktsegment, 1, 1) || '*' || substr(c_mktsegment, 2) AS marked
+             |FROM customer""".stripMargin)),
+
+    // multi-join analytic query (TPC-H Q3 shape): the bench's join headline
+    QueryDef(
+      "q3_shipping",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = tbl(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // event-time windowed aggregation (the batch shape of the streaming
+    // windowed agg; SURVEY.md §2.11)
+    QueryDef(
+      "w5_time_window_agg",
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .groupBy(window(col("ts").cast("timestamp"), "1 day").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .select(col("w.start").cast("timestamp_ntz").as("day"),
+            col("event_type"), col("n"), col("total")),
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             |       count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // BPE-ish regex token counting over documents
+    QueryDef(
+      "t5_regex_tokens",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+              .as("n_word_tokens")),
+      Some("""SELECT doc_id,
+             |       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
+             |FROM documents""".stripMargin))
+  )
+}
