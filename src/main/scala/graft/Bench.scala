@@ -95,12 +95,19 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
+    // Interleaved repetitions, max-of-k per level: sandbox noise is
+    // strictly additive slowdown, so the max over reps estimates the
+    // noise-free capacity, and interleaving stops one noisy window from
+    // hitting only one level (observed: a single burst halved the 8-core
+    // number while the adjacent 2-core run was unaffected).
     val lo = 2
     val mid = 8
     val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "2").toInt
-    def mean(xs: Seq[Double]) = xs.sum / xs.size
-    val epsLo = mean((1 to reps).map(_ => cdcRunForked(lo, logDir, nEvents)))
-    val epsMid = mean((1 to reps).map(_ => cdcRunForked(mid, logDir, nEvents)))
+    val pairs = (1 to reps).map { _ =>
+      (cdcRunForked(lo, logDir, nEvents), cdcRunForked(mid, logDir, nEvents))
+    }
+    val epsLo = pairs.map(_._1).max
+    val epsMid = pairs.map(_._2).max
     val epsHi = if (cpus > mid) cdcRunForked(cpus, logDir, nEvents) else epsMid
     val eff = (epsMid / epsLo) / (mid.toDouble / lo)
 

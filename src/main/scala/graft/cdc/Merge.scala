@@ -116,11 +116,20 @@ object Merge {
     // 10^6 duplicates pre-combines per task (skew-immune, no salting
     // needed). Shuffled bytes: O(distinct urls × 32B), not O(batch payload).
     val perKeyPlan = preparedKeys.getOrElse(prepareKeys(aligned))
+    // T6 late-data lineage (reference analog: SUBMITTED_LATE flag,
+    // late_round12/upload_submissions.R:37): winners older than the
+    // table's event-time watermark are accepted (upsert is late-tolerant)
+    // but counted and the watermark itself is carried forward.
+    val prevWatermarkMs = snap.summary.get("watermark-ms").map(_.toLong)
     def statsOf(pk: DataFrame) = pk.agg(
       sum("cnt").as("n"),
       min("lsnMin").as("lsnMin"), max("lsnMax").as("lsnMax"),
       count(lit(1)).as("nKeys"),
       sum("nDel").as("nDeleteEvents"),
+      max(unix_millis(col("win.warc_ts").cast("timestamp"))).as("maxTsMs"),
+      sum(when(unix_millis(col("win.warc_ts").cast("timestamp"))
+        < lit(prevWatermarkMs.getOrElse(Long.MinValue)), 1L).otherwise(0L))
+        .as("lateKeys"),
       collect_set(bucketOf(col("url"), nb)).as("buckets"))
 
     // 3. adaptive pruning. A batch that is small next to the table prunes
@@ -226,8 +235,15 @@ object Merge {
 
     // 6b. publish manifest (phase 2, atomic)
     val carried = snap.files.filterNot(f => touched.contains(f.bucket))
+    val prevLast = snap.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
+    val maxTsMs = Option(st.getAs[java.lang.Long]("maxTsMs"))
+      .map(_.toLong).getOrElse(Long.MinValue)
+    val watermarkMs = math.max(prevWatermarkMs.getOrElse(Long.MinValue), maxTsMs)
     val summary = Map(
       "batch-epoch" -> epoch.toString,
+      "last-epoch" -> math.max(prevLast, epoch).toString,
+      "watermark-ms" -> watermarkMs.toString,
+      "late-keys" -> st.getAs[Long]("lateKeys").toString,
       "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,
       "source-lsn-max" -> st.getAs[Long]("lsnMax").toString,
       "events-in" -> eventsIn.toString,
@@ -265,6 +281,10 @@ object Merge {
     }
     batch.select(keep: _*)
   }
+
+  /** Public for lake maintenance (compaction reuses the write layout). */
+  def listWrittenFiles(commitDir: String, schemaId: Int): Seq[DataFile] =
+    listWritten(commitDir, schemaId)
 
   private def listWritten(commitDir: String, schemaId: Int): Seq[DataFile] = {
     val root = Paths.get(commitDir)

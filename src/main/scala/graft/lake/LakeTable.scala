@@ -66,11 +66,14 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       StructField(graft.core.Schemas.OpCol, StringType)))
   }
 
-  def currentVersion: Int =
+  /** Committed manifest versions present on disk (expiry leaves gaps). */
+  def existingVersions: Seq[Int] =
     Files.list(metaDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case ManifestName(n) => n.toInt }
-      .foldLeft(-1)(math.max)
+      .toSeq.sorted
+
+  def currentVersion: Int = existingVersions.foldLeft(-1)(math.max)
 
   def currentSnapshot: Snapshot = snapshot(currentVersion)
 
@@ -175,13 +178,23 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     */
   def updateProperties(props: Map[String, String]): Snapshot = {
     val s = currentSnapshot
-    commit(Snapshot(s.version + 1, s.schemaId, s.numBuckets, s.files, props))
+    val inherited = s.summary.get("last-epoch")
+      .map(v => Map("last-epoch" -> v)).getOrElse(Map.empty)
+    commit(Snapshot(s.version + 1, s.schemaId, s.numBuckets, s.files,
+      inherited ++ props))
   }
 
-  /** Highest batch epoch already committed — the exactly-once gate. */
+  /** Highest batch epoch already committed — the exactly-once gate.
+    * Every commit (merge, metadata, compaction) carries the running
+    * `last-epoch` watermark forward, so one manifest read answers this in
+    * O(1) and the watermark survives snapshot expiry. Falls back to a
+    * full-chain scan for manifests written before the key existed.
+    */
   def lastCommittedEpoch: Option[Long] = {
-    val v = currentVersion
-    (0 to v).flatMap(i => snapshot(i).epoch).reduceOption(_ max _)
+    val cur = currentSnapshot
+    cur.summary.get("last-epoch").map(_.toLong)
+      .orElse(existingVersions.flatMap(i => snapshot(i).epoch)
+        .reduceOption(_ max _))
   }
 }
 

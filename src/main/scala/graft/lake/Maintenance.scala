@@ -1,0 +1,88 @@
+package graft.lake
+
+import graft.cdc.Merge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Lake-table maintenance: small-file compaction, snapshot expiry, orphan
+  * GC. A copy-on-write CDC sink accretes one file per touched bucket per
+  * batch plus orphans from crashes between the two commit phases
+  * (SURVEY.md §7.4 #5) — these are the background jobs that keep a
+  * 100 TB table healthy. All of them preserve the commit protocol:
+  * content rewrites publish a new snapshot; GC only ever deletes files no
+  * remaining manifest references.
+  */
+object Maintenance {
+
+  /** Rewrite every bucket into (at most) one file per bucket. Content
+    * byte-equal by construction; publishes a metadata snapshot marked
+    * `compaction=true` (no batch-epoch — compaction is not a batch).
+    */
+  def compact(spark: SparkSession, table: LakeTable,
+      purgeTombstones: Boolean = false): Snapshot = {
+    val snap = table.currentSnapshot
+    // Tombstone purge is only safe once no event older than the delete can
+    // still arrive (late-data horizon / watermark) — the caller asserts
+    // that by passing purgeTombstones=true. Until then tombstones must
+    // survive compaction (replay convergence, SURVEY.md §7.4 #1).
+    val base = table.read(snap)
+    val pruned = if (purgeTombstones)
+      base.filter(col(graft.core.Schemas.OpCol) =!= "D") else base
+    val df = pruned
+      .withColumn("_bucket", Merge.bucketOf(col("url"), snap.numBuckets))
+    val commitDir = table.newCommitDir(-1L)
+    df.repartition(math.max(1, snap.numBuckets), col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
+    val inherited = snap.summary.get("last-epoch")
+      .map(v => Map("last-epoch" -> v)).getOrElse(Map.empty)
+    table.commit(Snapshot(snap.version + 1, snap.schemaId, snap.numBuckets,
+      written, inherited ++ Map("compaction" -> "true",
+        "compacted-from" -> snap.files.size.toString)))
+  }
+
+  /** Drop manifests older than the last `keepLast` snapshots. The epoch
+    * gate stays correct: epochs are monotonic, so the retained (newest)
+    * snapshots carry the maximum committed epoch.
+    */
+  def expireSnapshots(table: LakeTable, keepLast: Int): Int = {
+    val current = table.currentVersion
+    val cutoff = current - keepLast + 1
+    val metaDir = Paths.get(table.dir, "meta")
+    val expired = Files.list(metaDir).iterator().asScala.toSeq.filter { p =>
+      p.getFileName.toString match {
+        case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toIntOption.exists(_ < cutoff)
+        case _ => false
+      }
+    }
+    expired.foreach(Files.delete(_))
+    expired.size
+  }
+
+  /** Delete every data file not referenced by any remaining manifest, and
+    * prune empty commit directories. Safe w.r.t. crashes: phase-1-only
+    * commit dirs (data written, manifest never published) are exactly what
+    * this removes.
+    */
+  def gc(table: LakeTable): Int = {
+    val referenced = table.existingVersions.flatMap(v => table.snapshot(v).files.map(f =>
+      Paths.get(f.path).toAbsolutePath.toString)).toSet
+    val dataDir = Paths.get(table.dir, "data")
+    var removed = 0
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (Files.isRegularFile(p)
+            && !referenced.contains(p.toAbsolutePath.toString)) {
+          Files.delete(p); removed += 1
+        } else if (Files.isDirectory(p) && p != dataDir
+            && !Files.list(p).iterator().hasNext) {
+          Files.delete(p)
+        }
+      }
+    }
+    removed
+  }
+}

@@ -261,6 +261,26 @@ object RelationalQueries {
              |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
              |WHERE rn = 1""".stripMargin)),
 
+    // W1b: the same latest-per-key dedup through the salted two-phase
+    // physical strategy (north star: salted repartitioning for hot keys).
+    // Same oracle as w1 — different plan, identical result.
+    QueryDef(
+      "w1b_salted_dedup",
+      (s, dir) =>
+        graft.cdc.Dedup.latestPerKeySalted(
+          tbl(s, dir, "events")
+            .select(col("event_id").as("lsn"), col("user_id").as("url"),
+              col("ts").as("warc_ts"), col("event_type"), col("value")),
+          key = "url", orderCols = Seq("warc_ts", "lsn"), numSalts = 8)
+          .select(col("url").as("user_id"), col("lsn").as("last_event_id"),
+            col("warc_ts").as("last_ts"), col("event_type").as("last_type"),
+            col("value").as("last_value")),
+      Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |       event_type AS last_type, value AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
     // W2: best-per-key winners + loser (conflict) routing
     // (ref: make_round3_prediction_files.R:92-103 → Bad_Predictions)
     QueryDef(

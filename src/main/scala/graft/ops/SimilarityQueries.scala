@@ -22,7 +22,7 @@ object SimilarityQueries {
     * md5_number_upper (little-endian u64 of the first 8 digest bytes).
     */
   private def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Prefix32.md5_prefix32(c)
 
   private val h32Sql = (e: String) =>
     s"""CAST(((md5_number_upper($e) & 255) << 24)
@@ -211,6 +211,53 @@ object SimilarityQueries {
              |JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
              |WHERE n_common >= 5""".stripMargin)),
 
+    // embedding-cosine near-duplicate pairs: LSH-bucket self-join (8
+    // md5-derived hyperplanes) then exact cosine inside buckets only —
+    // at 100 TB the bucket equi-join replaces the O(n²) cross join.
+    QueryDef(
+      "d6_embedding_neardup",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        def planeComp(p: Int): Column =
+          transform(sequence(lit(0), size(col("e")) - 1),
+            j => (h32(concat(lit(p + "_"), j)) / lit(2147483648.0)) - 1.0)
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val bucketed = emb.withColumn("bucket",
+          (0 until 8).map(p =>
+            when(dot(col("e"), planeComp(p)) >= 0,
+              lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        val a = bucketed.select(col("vec_id").as("id_a"), col("e").as("ea"),
+          col("bucket"))
+        val b = bucketed.select(col("vec_id").as("id_b"), col("e").as("eb"),
+          col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim",
+            round(dot(col("ea"), col("eb")) /
+              (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4))
+          .filter(col("sim") >= 0.7)
+          .select(col("id_a"), col("id_b"), col("sim"))
+      },
+      Some {
+        val planes = (0 until 8).map { p =>
+          s"""CASE WHEN list_dot_product(e,
+             |  [(${h32Sql(s"'${p}_' || (j - 1)")} / 2147483648.0) - 1.0
+             |   FOR j IN range(1, len(e) + 1)]) >= 0
+             |THEN ${1L << p}::BIGINT ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, $planes AS bucket FROM e)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       round(list_dot_product(a.e, b.e) /
+           |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+           |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.e, b.e) /
+           |            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.7""".stripMargin
+      }),
+
     // brute-force cosine top-k ANN baseline: query = embedding of vec_id 0,
     // broadcast to every partition; double-precision sequential dot product.
     QueryDef(
@@ -284,5 +331,57 @@ object SimilarityQueries {
            |FROM b, q WHERE bucket = qbucket
            |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
       })
+,
+
+    // IVF ANN (the coarse-quantizer scale path): deterministic centroids
+    // (every 50th vector), assign each vector to its nearest centroid
+    // (broadcast join — no shuffle of the vector side), then search only
+    // the query's cell. At 10^9 vectors the cell assignment is the
+    // partition key and the probe touches ~1/nCells of the data.
+    QueryDef(
+      "ann_ivf",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        def cos(a: Column, b: Column): Column =
+          dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+        val cents = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        // nearest centroid per vector: window over (dist, cid) — ties
+        // break deterministically on cid
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("dist", round(lit(1.0) - cos(col("e"), col("ce")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("e"), col("cid"))
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("e").as("qe"), col("cid").as("qcid"))
+        assigned.join(broadcast(q), col("cid") === col("qcid"))
+          .select(col("vec_id"), col("cid"),
+            round(cos(col("e"), col("qe")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id % 50 = 0),
+             |assigned AS (
+             |  SELECT vec_id, e, cid FROM (
+             |    SELECT vec_id, e, cid,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY
+             |             round(1.0 - list_dot_product(e, ce) /
+             |               (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6),
+             |             cid) AS rn
+             |    FROM e, c)
+             |  WHERE rn = 1),
+             |q AS (SELECT e AS qe, cid AS qcid FROM assigned WHERE vec_id = 0)
+             |SELECT vec_id, cid,
+             |       round(list_dot_product(e, qe) /
+             |             (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+             |FROM assigned, q WHERE cid = qcid
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

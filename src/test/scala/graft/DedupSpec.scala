@@ -42,4 +42,28 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("url").select("lsn", "text").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((2L, "b"), (3L, "c")))
   }
+
+  test("hot-key skew: one url carrying 200k duplicate events dedups correctly") {
+    import org.apache.spark.sql.functions._
+    // 200k events on ONE url (the pathological hot domain) + 5k spread
+    val hot = spark.range(200000).select(
+      col("id").as("lsn"), lit("U").as("op"), lit("https://hot/0").as("url"),
+      timestamp_seconds(lit(1700000000L) + pmod(col("id"), lit(1000))).as("warc_ts"),
+      concat(lit("p"), col("id")).as("text"))
+    val cold = spark.range(200000, 205000).select(
+      col("id").as("lsn"), lit("U").as("op"),
+      concat(lit("https://cold/"), pmod(col("id"), lit(1000))).as("url"),
+      timestamp_seconds(lit(1700000000L)).as("warc_ts"),
+      concat(lit("p"), col("id")).as("text"))
+    val df = hot.unionByName(cold)
+    val agg = Dedup.latestPerKeyAgg(df)
+    val salted = Dedup.latestPerKeySalted(df, numSalts = 16)
+    assert(agg.count() == 1001) // 1 hot + 1000 cold keys
+    assert(agg.exceptAll(salted).isEmpty && salted.exceptAll(agg).isEmpty)
+    // the hot key's winner is the max-(warc_ts, lsn) event
+    val hotWin = agg.filter(col("url") === "https://hot/0")
+      .select("lsn").head().getLong(0)
+    val expect = (0L until 200000L).maxBy(i => (1700000000L + i % 1000, i))
+    assert(hotWin == expect)
+  }
 }

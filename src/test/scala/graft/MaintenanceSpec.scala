@@ -1,0 +1,65 @@
+package graft
+
+import graft.cdc.Merge
+import graft.core.ChangeGen
+import graft.lake.{LakeTable, Maintenance}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dataFiles(dir: String): Seq[String] =
+    Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).map(_.toString).toSeq
+
+  test("compact + expire + gc: content identical, small files and orphans gone, gate intact") {
+    val dir = TestSpark.tempDir("maint")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val cfg = ChangeGen.Config(nEvents = 3000, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg)
+    (0 until 3).foreach { e =>
+      val b = ev.filter(org.apache.spark.sql.functions.col("lsn") >= e * 1000
+        && org.apache.spark.sql.functions.col("lsn") < (e + 1) * 1000)
+      Merge.applyBatch(spark, t, b, e.toLong, 3)
+    }
+    // an orphan from a crashed phase-1 commit
+    val orphanDir = t.newCommitDir(99)
+    Files.writeString(Paths.get(orphanDir, "orphan.parquet"), "junk")
+
+    val before = t.readUser().orderBy("url").collect().toSeq
+    val tombstonesBefore = t.read().filter(
+      org.apache.spark.sql.functions.col("_op") === "D").count()
+    assert(tombstonesBefore > 0) // generator emits deletes
+
+    Maintenance.compact(spark, t)
+    assert(t.currentSnapshot.files.size <= 4) // one per bucket
+    assert(t.readUser().orderBy("url").collect().toSeq == before)
+    // tombstones survive a plain compaction…
+    assert(t.read().filter(
+      org.apache.spark.sql.functions.col("_op") === "D").count()
+      == tombstonesBefore)
+    // …and are dropped by a purging one (caller asserts the late horizon)
+    Maintenance.compact(spark, t, purgeTombstones = true)
+    assert(t.read().filter(
+      org.apache.spark.sql.functions.col("_op") === "D").count() == 0)
+    assert(t.readUser().orderBy("url").collect().toSeq == before)
+
+    val expired = Maintenance.expireSnapshots(t, keepLast = 1)
+    assert(expired > 0)
+    val removed = Maintenance.gc(t)
+    assert(removed > 0)
+    // orphan is gone, table content intact, only referenced files remain
+    assert(!Files.exists(Paths.get(orphanDir, "orphan.parquet")))
+    assert(t.readUser().orderBy("url").collect().toSeq == before)
+    val refd = t.currentSnapshot.files.map(f =>
+      Paths.get(f.path).toAbsolutePath.toString).toSet
+    assert(dataFiles(dir).forall(refd.contains))
+    // exactly-once gate survives expiry (latest snapshot carries max epoch)
+    val replay = Merge.applyBatch(spark, t,
+      ev.filter(org.apache.spark.sql.functions.col("lsn") < 1000), 2, 3)
+    assert(!replay.applied)
+  }
+}
