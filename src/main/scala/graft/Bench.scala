@@ -45,11 +45,12 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run one parallelism level in a clean child JVM; returns events/sec.
-    * The JVM is hard-pinned to `cpus` cores (taskset) and told so
-    * (ActiveProcessorCount) — without pinning, a local[2] JVM still spends
-    * the other 30 cores on GC/JIT/IO threads, inflating the small-node
-    * number and corrupting the scaling ratio.
+  /** Run one parallelism level in a clean child JVM; returns the median
+    * per-batch events/sec. ActiveProcessorCount sizes GC/JIT/IO thread
+    * pools to the simulated node — without it a local[2] JVM spends the
+    * other 30 cores on ancillary threads, inflating the small-node number
+    * and corrupting the scaling ratio. (Hard pinning via taskset was
+    * measured WORSE: fixed low cores contend with host processes.)
     */
   private def cdcRunForked(cpus: Int, logDir: String, nEvents: Long): Double = {
     val java = System.getProperty("java.home") + "/bin/java"
@@ -86,12 +87,12 @@ object Bench {
     }
 
     // --- CDC log (generated once, excluded from timing). High-churn
-    // realism: ~40 change events per url (10^10 events over ~10^8 pages),
-    // 1M-event micro-batches.
+    // realism: ~160 change events per url (10^10 events over ~10^8 pages),
+    // 4M-event micro-batches (amortizes the per-batch driver floor).
     val logDir = java.nio.file.Files.createTempDirectory("bench-log").toString
     val cfg = ChangeGen.Config(nEvents = nEvents, nDomains = 500,
       pagesPerDomain = 200, v1Frac = 0.0, v2Frac = 0.0)
-    ChangeGen.writeLogDirs(spark, cfg, logDir, nChunks = 8)
+    ChangeGen.writeLogDirs(spark, cfg, logDir, nChunks = 4)
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
