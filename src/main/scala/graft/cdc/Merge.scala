@@ -146,6 +146,10 @@ object Merge {
     import scala.concurrent.ExecutionContext.Implicits.global
 
     val (stats, touched, currentRaw, statsWall) = if (fullRewrite) {
+      // persist: the async stats job and the winner-broadcast build both
+      // read this subplan — without the cache the narrow scan runs twice
+      // (and thrice with the next batch's prepare-ahead competing)
+      if (preparedKeys.isEmpty) perKeyPlan.persist()
       val f = Future { statsOf(perKeyPlan).head() }
       val allBuckets = (0 until nb).toSet
       (f, allBuckets, table.readBuckets(snap, allBuckets), false)

@@ -4,6 +4,8 @@ import graft.cdc.CdcStream
 import graft.core.ChangeGen
 import graft.lake.LakeTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import scala.collection.mutable
 
 /** Ad-hoc CDC profiling: per-batch wall times at two parallelism levels. */
 object ProfileCdc {
@@ -34,6 +36,15 @@ object ProfileCdc {
 
     levels.foreach { cpus =>
       val spark = session(cpus)
+      val stages = mutable.ArrayBuffer[(Int, String, Long, Long)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+            wall, si.taskMetrics.executorRunTime))
+        }
+      })
       // JIT/classload warmup outside the timed window
       val warmDir = java.nio.file.Files.createTempDirectory(s"prof-w$cpus").toString
       LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = 32)
@@ -45,6 +56,9 @@ object ProfileCdc {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[prof] cpus=$cpus total=$sec%.1fs eps=${nEvents / sec}%.0f " +
         s"batches=${stats.map(_.wallMs).mkString(",")}ms")
+      stages.toSeq.sortBy(-_._3).take(12).foreach { case (id, nm, w, rt) =>
+        println(f"[stage $cpus] #$id wall=${w}ms taskTime=${rt}ms  $nm")
+      }
       spark.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
   }
