@@ -38,6 +38,7 @@ object CdcBenchChild {
     val perBatch = stats.filter(_.applied)
       .map(s => s.eventsIn * 1000.0 / math.max(1, s.wallMs)).sorted
     val median = perBatch(perBatch.size / 2)
+    println(s"CDC_BATCHES ${stats.map(_.wallMs).mkString(",")}")
     println(s"CDC_EPS ${"%.0f".format(median)}")
     spark.stop()
   }
