@@ -40,8 +40,12 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Catalyst's size estimate lets the merge pick prune vs
+        // full-rewrite without running a job
+        val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
         val stats = Merge.applyBatch(batch.sparkSession, table, batch,
-          epoch = batchId, batchSchemaVersion = schemaVersion)
+          epoch = batchId, batchSchemaVersion = schemaVersion,
+          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
         Metrics.append(tableDir, stats)
         ()
       }

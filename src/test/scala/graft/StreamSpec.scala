@@ -60,9 +60,14 @@ class StreamSpec extends AnyFunSuite {
     assert(tB.currentVersion == 3)
 
     // simulate "sink committed but checkpoint lost the batch": apply chunk 3
-    // directly at the epoch the restarted stream will use…
+    // directly at the epoch the restarted stream will use — with the same
+    // size hint the stream would pass, so the merge picks the same
+    // prune/full-rewrite path and the chains stay byte-comparable
     val batch3 = spark.read.parquet(chunks(3))
-    val direct = Merge.applyBatch(spark, tB, batch3, epoch = 3, batchSchemaVersion = 3)
+    val hint = batch3.queryExecution.optimizedPlan.stats.sizeInBytes
+    val direct = Merge.applyBatch(spark, tB, batch3, epoch = 3,
+      batchSchemaVersion = 3,
+      batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
     assert(direct.applied)
 
     // …restart: the stream re-delivers epoch 3; the gate must skip it
