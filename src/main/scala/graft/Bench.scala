@@ -103,7 +103,7 @@ object Bench {
     // number while the adjacent 2-core run was unaffected).
     val lo = 2
     val mid = 8
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "3").toInt
     val pairs = (1 to reps).map { _ =>
       (cdcRunForked(lo, logDir, nEvents), cdcRunForked(mid, logDir, nEvents))
     }
