@@ -83,18 +83,36 @@ object Merge {
         min("lsn").as("lsnMin"), max("lsn").as("lsnMax"),
         sum(when(col("op") === "D", 1L).otherwise(0L)).as("nDel"))
 
+  /** Table-independent winners prefetch: the raw batch filtered to the
+    * latest-per-key winning events, payload included. LSN is globally
+    * unique, so a broadcast semi-join on the winners' LSN set selects
+    * exactly one event per url. Like [[prepareKeys]] this never reads the
+    * table, so a driver can persist it for batch k+1 WHILE batch k is
+    * resolving — the full-payload scan (the dominant per-batch cost, ~75%
+    * of wall at 8 cores) moves off the critical path.
+    */
+  def prepareWinners(rawBatch: DataFrame, preparedKeys: DataFrame): DataFrame =
+    rawBatch.join(
+      broadcast(preparedKeys.select(col("win.lsn").as("lsn"))),
+      Seq("lsn"), "left_semi")
+
   def applyBatch(spark: SparkSession, table: LakeTable, rawBatch: DataFrame,
       epoch: Long, batchSchemaVersion: Int,
       batchBytesHint: Option[Long] = None,
       preparedKeys: Option[DataFrame] = None,
+      preparedWinners: Option[DataFrame] = None,
       quarantineDir: Option[String] = None): MergeStats = {
+    def unprepare(): Unit = {
+      preparedKeys.foreach(_.unpersist())
+      preparedWinners.foreach(_.unpersist())
+    }
     val t0 = System.nanoTime()
     var tp = t0
     val snap = table.currentSnapshot
 
     // 1. exactly-once epoch gate
     if (table.lastCommittedEpoch.exists(_ >= epoch)) {
-      preparedKeys.foreach(_.unpersist())
+      unprepare()
       return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
         (System.nanoTime() - t0) / 1000000)
     }
@@ -160,7 +178,7 @@ object Merge {
       val n = Option(st.getAs[Long]("n")).getOrElse(0L)
       if (n == 0) {
         perKeyPlan.unpersist()
-        preparedKeys.foreach(_.unpersist())
+        unprepare()
         return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -185,8 +203,8 @@ object Merge {
     //    upsert older than a delete cannot resurrect the key — final state
     //    is a pure argmax over the whole log, independent of batch
     //    boundaries (replay convergence, §7.4 #1).
-    val winnerLsns = perKeyPlan.select(col("win.lsn").as("lsn"))
-    val joined = aligned.join(broadcast(winnerLsns), Seq("lsn"), "left_semi")
+    val winnersRaw = preparedWinners.getOrElse(prepareWinners(rawBatch, perKeyPlan))
+    val joined = alignBatch(winnersRaw, newSchemaId)
     // T4 quarantine / dead-letter (reference analog: problem_submissions,
     // make_round3_prediction_files.R:54-56,237): a poison event — one whose
     // html does NOT re-extract byte-identically to its text — is routed to
@@ -211,17 +229,30 @@ object Merge {
       .withColumn(Schemas.LsnCol, col("lsn"))
       .withColumn(Schemas.OpCol, when(col("op") === "D", "D").otherwise("U"))
       .select(target.fields.map(f => col(f.name)).toSeq: _*)
-    val resolved = Dedup.latestPerKeyAgg(
-      current.unionByName(batchWinners),
-      "url", Seq("warc_ts", Schemas.LsnCol))
-    val survivors = resolved
+    // Single-exchange resolution: _bucket is a function of url, so one
+    // repartition on _bucket followed by groupBy(_bucket, url) satisfies
+    // the agg's ClusteredDistribution with NO second exchange — the
+    // latest-wins agg and the bucket-clustered write layout share one
+    // shuffle of the survivors' payload (was: agg exchange on url, then a
+    // repartition exchange on _bucket — 2× the payload through the wire).
+    val orderCols = Seq("warc_ts", Schemas.LsnCol)
+    val payloadCols = target.fields.map(_.name)
+      .filterNot(c => c == "url" || orderCols.contains(c))
+    val packCols = orderCols ++ payloadCols
+    val survivors = current.unionByName(batchWinners)
       .withColumn("_bucket", bucketOf(col("url"), nb))
+      .repartition(math.max(1, touched.size), col("_bucket"))
+      .groupBy(col("_bucket"), col("url"))
+      .agg(max(struct(packCols.map(col): _*)).as("_m"))
+      .select(col("_bucket") +: col("url") +:
+        packCols.map(c => col(s"_m.$c").as(c)): _*)
+      .select((target.fields.map(f => col(f.name)) :+ col("_bucket")).toSeq: _*)
 
-    // 6a. write data files (phase 1): one exchange clusters rows by bucket
-    //     so each bucket lands in few files (bounded write amplification)
+    // 6a. write data files (phase 1): the exchange above already clustered
+    //     rows by bucket, so each bucket lands in few files (bounded write
+    //     amplification)
     val commitDir = table.newCommitDir(epoch)
     survivors
-      .repartition(math.max(1, touched.size), col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
     tp = dbg(epoch, "resolve+write", tp)
 
@@ -258,6 +289,7 @@ object Merge {
     table.commit(Snapshot(snap.version + 1, newSchemaId, nb,
       carried ++ written, summary))
     perKeyPlan.unpersist() // no-op unless persisted (prune path / prepared)
+    preparedWinners.foreach(_.unpersist())
     tp = dbg(epoch, "commit", tp)
 
     MergeStats(epoch, applied = true, eventsIn, rowsApplied, conflicts,

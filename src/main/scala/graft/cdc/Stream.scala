@@ -82,22 +82,30 @@ object CdcStream {
       // explicit per-version schema: no per-batch footer inference on the
       // driver (a serial cost on every micro-batch)
       spark.read.schema(chunkSchema(v)).parquet(path)
-    // pipelined micro-batches: batch k+1's table-independent key pass
-    // (dedup argmax + lineage pre-agg) is kicked off in the background
-    // while batch k resolves and writes — hides the narrow scan behind
-    // the wide one without breaking the sequential snapshot chain
-    var prepared: Option[DataFrame] = None
+    // pipelined micro-batches: batch k+1's table-independent passes — the
+    // narrow key argmax AND the full-payload winners scan (the dominant
+    // per-batch cost) — run in the background while batch k resolves and
+    // writes, without breaking the sequential snapshot chain. They run in
+    // a separate FAIR pool (when spark.scheduler.mode=FAIR) so the big
+    // prefetch scan cannot starve batch k's critical-path tasks.
+    var prepared: Option[(DataFrame, DataFrame)] = None
     chunks.zipWithIndex.map { case ((i, v, path), idx) =>
       val batch = readChunk(v, path)
       val pk = prepared
       prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
-        val nextPk = Merge.prepareKeys(readChunk(nv, np)).persist()
-        Future { nextPk.count() } // materialize the cache in the background
-        nextPk
+        val nextBatch = readChunk(nv, np)
+        val nextPk = Merge.prepareKeys(nextBatch).persist()
+        val nextWin = Merge.prepareWinners(nextBatch, nextPk).persist()
+        Future { // materialize both caches in the background
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
+          try { nextPk.count(); nextWin.count() }
+          finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
+        (nextPk, nextWin)
       }
       val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
-        preparedKeys = pk)
+        preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2))
       Metrics.append(tableDir, stats)
       stats
     }
