@@ -90,11 +90,23 @@ object Merge {
     * table, so a driver can persist it for batch k+1 WHILE batch k is
     * resolving — the full-payload scan (the dominant per-batch cost, ~75%
     * of wall at 8 cores) moves off the critical path.
+    *
+    * The broadcast hint is FORCED (it never falls back), which is right
+    * while one micro-batch's winner-key set stays driver-sized — ≤ ~10^7
+    * keys ≈ 80 MB; micro-batch sizing (maxFilesPerTrigger) is the
+    * deployment knob that bounds it. Past that, set
+    * `graft.merge.broadcastWinners=false` to hand the join strategy to
+    * the planner/AQE (shuffled semi-join on lsn, skew-free since lsn is
+    * unique).
     */
-  def prepareWinners(rawBatch: DataFrame, preparedKeys: DataFrame): DataFrame =
+  def prepareWinners(rawBatch: DataFrame, preparedKeys: DataFrame): DataFrame = {
+    val winnerLsns = preparedKeys.select(col("win.lsn").as("lsn"))
+    val doBroadcast = rawBatch.sparkSession.conf
+      .getOption("graft.merge.broadcastWinners").forall(_.toBoolean)
     rawBatch.join(
-      broadcast(preparedKeys.select(col("win.lsn").as("lsn"))),
+      if (doBroadcast) broadcast(winnerLsns) else winnerLsns,
       Seq("lsn"), "left_semi")
+  }
 
   def applyBatch(spark: SparkSession, table: LakeTable, rawBatch: DataFrame,
       epoch: Long, batchSchemaVersion: Int,

@@ -17,4 +17,17 @@ object Tables {
   /** All queries read driver-generated parquet from `dir` (TESTDATA.md). */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `tbl` spread over the cluster by a unique key before a CPU-heavy
+    * per-row stage. The driver testdata ships each table as ONE parquet
+    * row group, so a heavy map (minhash over shingles, simhash votes)
+    * would otherwise run on a single core regardless of cluster size.
+    * At production scale the source's own splits provide the
+    * parallelism and the exchange coalesces away under AQE; here it
+    * moves a few MB once and unlocks every core.
+    */
+  def tblSpread(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    tbl(spark, dir, name)
+      .repartition(org.apache.spark.sql.functions.col(key))
 }

@@ -30,21 +30,78 @@ object SimilarityQueries {
        | | (((md5_number_upper($e) >> 16) & 255) << 8)
        | | ((md5_number_upper($e) >> 24) & 255) AS BIGINT)""".stripMargin.replace("\n", " ")
 
-  /** Word 3-shingles of a document, distinct. Guarded: Spark's sequence()
-    * descends when start > stop, so short docs need an explicit empty array.
+  /** Driver-side twin of [[h32]] for precomputing CONSTANT vectors (the
+    * LSH hyperplanes) instead of re-deriving them by md5 on every row.
     */
-  private def shingles(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
+  private def h32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** i-th minhash function: an affine permutation (odd multiplier mod
+    * 2^32 — a bijection on Z_2^32) of ONE shared md5-derived base hash
+    * per shingle. One md5 per shingle instead of `numHashes` md5s
+    * (Broder-style universal hashing). Multipliers stay < 2^31 so
+    * base * a < 2^63 never overflows ANSI LongType arithmetic.
+    */
+  private val mhA = Seq(1000003L, 2000029L, 3000073L, 4000037L,
+    5000011L, 6000101L, 7000003L, 8000009L)
+  private val mhB = Seq(12345L, 67891L, 24681L, 13579L,
+    99991L, 55555L, 77777L, 31415L)
+  private def mh(base: Column, i: Int): Column =
+    pmod(base * lit(mhA(i)) + lit(mhB(i)), lit(4294967296L))
+  private def mhSql(b: String, i: Int): String =
+    s"(($b * ${mhA(i)} + ${mhB(i)}) % 4294967296)"
+
+  /** Word 3-shingles over a MATERIALIZED token-array column, distinct.
+    * Guarded: Spark's sequence() descends when start > stop, so short
+    * docs need an explicit empty array.
+    *
+    * The tokens must be a real column (own projection), not an inline
+    * split(): higher-order functions run interpreted (outside codegen,
+    * no common-subexpression elimination), so an inlined split() would
+    * re-tokenize the whole document on EVERY element_at — measured 9s →
+    * 0.4s on 5000 docs for this one change.
+    */
+  private def shinglesOf(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(
         transform(sequence(lit(0), size(toks) - 3),
           i => concat_ws(" ", element_at(toks, i + 1),
             element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** documents → (doc_id, sh) with the tokenize → shingle pipeline split
+    * into separate projections (see [[shinglesOf]]).
+    */
+  private def docShingles(s: SparkSession, dir: String,
+      keyFiltered: DataFrame => DataFrame = identity): DataFrame =
+    keyFiltered(Tables.tblSpread(s, dir, "documents", "doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // the non-empty-shingles filter expressed on the TOKEN COUNT
+      // (equivalent: ≥3 tokens ⇔ ≥1 shingle). Filtering on size(sh)
+      // instead gets predicate-pushed below the repartition with the
+      // whole shingle expression inlined — re-running the 10×-duplicated
+      // tokenize per row on the unspread scan (measured: the entire d2
+      // 10s was this one pushed filter).
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
 
   private val numHashes = 8
   private val simhashBits = 16
+
+  /** Hyperplane p as a precomputed literal vector. The components are
+    * pure constants (md5 of "p_j"), so deriving them with per-row md5
+    * expressions — 8 planes × dim digests per ROW — was pure waste; now
+    * they ship with the plan and the scan does only the dot products.
+    * Capped at 128 components ≥ the embeddings dim; sliced per row.
+    */
+  private def planeLit(p: Int): Column =
+    typedLit((0 until 128).map(j => h32Local(s"${p}_$j") / 2147483648.0 - 1.0))
+  private def planeComp(p: Int, e: Column): Column =
+    slice(planeLit(p), lit(1), size(e))
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -59,25 +116,25 @@ object SimilarityQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
-    // MinHash signatures: per doc, k independent min-hashes over word
-    // 3-shingles (hash_i(s) = h32(i || s)). One narrow map stage — no shuffle.
+    // MinHash signatures: per doc, k min-hashes over word 3-shingles —
+    // one md5 base hash per shingle, k affine permutations of it (mh).
+    // One narrow map stage — no shuffle.
     QueryDef(
       "d2_minhash_signature",
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-          .filter(size(col("sh")) > 0)
+        val based = docShingles(s, dir).select(col("doc_id"),
+          transform(col("sh"), sh => h32(sh)).as("bh"))
         val sigCols = (0 until numHashes).map { i =>
-          array_min(transform(col("sh"), sh => h32(concat(lit(i + "_"), sh))))
-            .as(s"mh_$i")
+          array_min(transform(col("bh"), b => mh(b, i))).as(s"mh_$i")
         }
-        docs.select(col("doc_id") +: sigCols: _*)
+        based.select(col("doc_id") +: sigCols: _*)
       },
       Some {
         val sigs = (0 until numHashes).map { i =>
-          s"list_min(list_transform(sh, x -> ${h32Sql(s"'${i}_' || x")})) AS mh_$i"
+          s"list_min(list_transform(bh, b -> ${mhSql("b", i)})) AS mh_$i"
         }.mkString(",\n  ")
         s"""SELECT doc_id, $sigs FROM (
+           |  SELECT doc_id, list_transform(sh, x -> ${h32Sql("x")}) AS bh FROM (
            |  SELECT doc_id,
            |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
            |           FOR s IN [list_slice(toks, i, i+2)
@@ -85,26 +142,26 @@ object SimilarityQueries {
            |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
            |        FROM documents)
            |  WHERE len(toks) >= 3)
-           |WHERE len(sh) > 0""".stripMargin
+           |  WHERE len(sh) > 0)""".stripMargin
       }),
 
     // MinHash LSH near-dup candidates: band the signature (2 bands × 4
-    // rows), shuffle on band-hash, self-join inside buckets only.
+    // rows), shuffle on band-hash, self-join inside buckets only. The
+    // signature subplan is cached: without it the self-join recomputes
+    // the whole shingle+minhash pipeline once per side.
     QueryDef(
       "d3_minhash_lsh_pairs",
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sig = docs.select(col("doc_id") +: (0 until numHashes).map { i =>
-          array_min(transform(col("sh"), sh => h32(concat(lit(i + "_"), sh))))
-            .as(s"mh_$i")
+        val based = docShingles(s, dir).select(col("doc_id"),
+          transform(col("sh"), sh => h32(sh)).as("bh"))
+        val sig = based.select(col("doc_id") +: (0 until numHashes).map { i =>
+          array_min(transform(col("bh"), b => mh(b, i))).as(s"mh_$i")
         }: _*)
         val bands = sig.select(col("doc_id"),
           explode(array(
             concat_ws("_", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
             concat_ws("_", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7"))))
-            .as("band"))
+            .as("band")).persist()
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, col("a.band") === col("b.band")
@@ -114,7 +171,7 @@ object SimilarityQueries {
       },
       Some {
         val sigs = (0 until numHashes).map { i =>
-          s"list_min(list_transform(sh, x -> ${h32Sql(s"'${i}_' || x")})) AS mh_$i"
+          s"list_min(list_transform(bh, b -> ${mhSql("b", i)})) AS mh_$i"
         }.mkString(", ")
         s"""WITH sh AS (
            |  SELECT doc_id,
@@ -124,7 +181,9 @@ object SimilarityQueries {
            |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
            |        FROM documents)
            |  WHERE len(toks) >= 3),
-           |sig AS (SELECT doc_id, $sigs FROM sh WHERE len(sh) > 0),
+           |based AS (SELECT doc_id, list_transform(sh, x -> ${h32Sql("x")}) AS bh
+           |          FROM sh WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id, $sigs FROM based),
            |bands AS (
            |  SELECT doc_id, concat_ws('_', 'b0', mh_0, mh_1, mh_2, mh_3) AS band FROM sig
            |  UNION ALL
@@ -138,7 +197,7 @@ object SimilarityQueries {
     QueryDef(
       "d4_simhash",
       (s, dir) => {
-        val toks = tbl(s, dir, "documents")
+        val toks = Tables.tblSpread(s, dir, "documents", "doc_id")
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
           .withColumn("th", h32(col("tok")))
         val bits = toks.select(col("doc_id"),
@@ -171,10 +230,7 @@ object SimilarityQueries {
     QueryDef(
       "d5_ngram_jaccard",
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-          .filter(size(col("sh")) > 0)
+        val docs = docShingles(s, dir, _.filter(col("doc_id") < 100))
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
         val inter = ex.as("a").join(ex.as("b"),
@@ -219,14 +275,11 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-        def planeComp(p: Int): Column =
-          transform(sequence(lit(0), size(col("e")) - 1),
-            j => (h32(concat(lit(p + "_"), j)) / lit(2147483648.0)) - 1.0)
         def dot(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val bucketed = emb.withColumn("bucket",
           (0 until 8).map(p =>
-            when(dot(col("e"), planeComp(p)) >= 0,
+            when(dot(col("e"), planeComp(p, col("e"))) >= 0,
               lit(1L << p)).otherwise(lit(0L)))
             .reduce(_ + _))
         val a = bucketed.select(col("vec_id").as("id_a"), col("e").as("ea"),
@@ -294,15 +347,11 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-        // plane p component j in [-1, 1): deterministic from md5(p_j)
-        def planeComp(p: Int): Column =
-          transform(sequence(lit(0), size(col("e")) - 1),
-            j => (h32(concat(lit(p + "_"), j)) / lit(2147483648.0)) - 1.0)
         def dot(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val bucketed = emb.withColumn("bucket",
           (0 until 8).map(p =>
-            when(dot(col("e"), planeComp(p)) >= 0,
+            when(dot(col("e"), planeComp(p, col("e"))) >= 0,
               lit(1L << p)).otherwise(lit(0L)))
             .reduce(_ + _))
         val q = bucketed.filter(col("vec_id") === 0)

@@ -25,22 +25,33 @@ object CdcBenchChild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup replay (JIT, classloading, page cache) — one chunk
-    // exercises every code path
+    // untimed warmup replay (JIT, classloading, page cache) — two chunks
+    // exercise every code path including the cross-batch prefetch overlap
     val warmDir = java.nio.file.Files.createTempDirectory(s"cdcb-warm-$cpus").toString
     LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = sys.env.getOrElse("GRAFT_BUCKETS", "32").toInt)
-    CdcStream.replayChunks(spark, logDir, warmDir, maxChunks = 1)
-    // timed replay into a fresh table; report the MEDIAN per-batch
-    // events/sec — the sandbox has noisy-neighbor CPU transients that a
-    // single total-wall number absorbs but a median rejects
+    CdcStream.replayChunks(spark, logDir, warmDir, maxChunks = 2)
+    // timed replay into a fresh table. CDC_EPS = total events / total
+    // replay wall — everything included. Per-batch (or steady-state-only)
+    // bases became dishonest once the winners scan of batch k+1 started
+    // overlapping batch k: how much of a batch's scan lands inside its
+    // predecessor's wall varies run to run, so excluding ANY batch shifts
+    // a random amount of real work out of the denominator (observed: it
+    // inflated the 2-core level by ~35% on a lucky alignment and wrecked
+    // the N→4N ratio). Total wall is alignment-invariant. The steady-state
+    // number (cold first batch dropped — a continuous tail amortizes it)
+    // is still printed as CDC_EPS_SUSTAINED for context.
     val tableDir = java.nio.file.Files.createTempDirectory(s"cdcb-table-$cpus").toString
     LakeTable.create(spark, tableDir, schemaId = 3, numBuckets = sys.env.getOrElse("GRAFT_BUCKETS", "32").toInt)
+    val t0 = System.nanoTime()
     val stats = CdcStream.replayChunks(spark, logDir, tableDir)
-    val perBatch = stats.filter(_.applied)
-      .map(s => s.eventsIn * 1000.0 / math.max(1, s.wallMs)).sorted
-    val median = perBatch(perBatch.size / 2)
+    val totalWallS = (System.nanoTime() - t0) / 1e9
+    val applied = stats.filter(_.applied)
+    val steady = if (applied.size > 1) applied.drop(1) else applied
+    val sustained = steady.map(_.eventsIn).sum * 1000.0 /
+      math.max(1, steady.map(_.wallMs).sum)
     println(s"CDC_BATCHES ${stats.map(_.wallMs).mkString(",")}")
-    println(s"CDC_EPS ${"%.0f".format(median)}")
+    println(s"CDC_EPS_SUSTAINED ${"%.0f".format(sustained)}")
+    println(f"CDC_EPS ${applied.map(_.eventsIn).sum / totalWallS}%.0f")
     spark.stop()
   }
 }
