@@ -59,6 +59,10 @@ object Bench {
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val cmd = (Seq(java) ++ addOpens ++ Seq(
       s"-XX:ActiveProcessorCount=$cpus",
+      // ParallelGC beats G1 for this allocation-heavy batch workload AND
+      // scales better with core count: measured 8-core task-time
+      // inflation vs 2 cores drops from +21% (G1) to +12%, wall -11%
+      "-XX:+UseParallelGC",
       s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.tools.CdcBenchChild",

@@ -72,6 +72,19 @@ class CdcEngineSpec extends AnyFunSuite {
     assertSameSet(t1.readUser(), t10.readUser())
   }
 
+  test("broadcastWinners=false (shuffled semi-join escape hatch) reaches " +
+    "the same final state") {
+    val prev = spark.conf.getOption("graft.merge.broadcastWinners")
+    spark.conf.set("graft.merge.broadcastWinners", "false")
+    try {
+      val t = replayInto(4)
+      assertSameSet(t.readUser(), bruteForce())
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.merge.broadcastWinners", v)
+      case None => spark.conf.unset("graft.merge.broadcastWinners")
+    }
+  }
+
   test("idempotency: re-replaying a fully-applied log is a no-op") {
     val logDir = TestSpark.tempDir("log")
     val tableDir = TestSpark.tempDir("table")
