@@ -83,7 +83,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "24000000").toLong
 
     // --- operator queries ---
     val spark = newSession(cpus)
@@ -104,7 +104,12 @@ object Bench {
     val logDir = java.nio.file.Files.createTempDirectory("bench-log").toString
     val cfg = ChangeGen.Config(nEvents = nEvents, nDomains = 500,
       pagesPerDomain = 200, v1Frac = 0.0, v2Frac = 0.0)
-    ChangeGen.writeLogDirs(spark, cfg, logDir, nChunks = 4)
+    // 4M-event micro-batches (the measured sweet spot: 2M batches lose
+    // ~15% to the per-batch floor, bigger ones stop amortizing the cold
+    // first batch); chunk count scales with the event budget so the cold
+    // batch's share of total wall shrinks
+    val nChunks = math.max(4, (nEvents / 4000000L).toInt)
+    ChangeGen.writeLogDirs(spark, cfg, logDir, nChunks)
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
