@@ -53,7 +53,8 @@ object Bench {
     * and corrupting the scaling ratio. (Hard pinning via taskset was
     * measured WORSE: fixed low cores contend with host processes.)
     */
-  private def cdcRunForked(cpus: Int, logDir: String, nEvents: Long): (Double, Double) = {
+  private def cdcRunForked(cpus: Int, logDir: String, nEvents: Long,
+      mode: String = "replay"): (Double, Double) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
@@ -66,7 +67,7 @@ object Bench {
       s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.tools.CdcBenchChild",
-      cpus.toString, logDir, nEvents.toString)).asJava
+      cpus.toString, logDir, nEvents.toString, mode)).asJava
     // child stderr must not back up into a full pipe (Spark logs would
     // block the child once the 64KB buffer fills) — discard it
     val p = new ProcessBuilder(cmd)
@@ -131,6 +132,9 @@ object Bench {
     val (epsHi, epsHiSustained) =
       if (cpus > mid) cdcRunForked(cpus, logDir, nEvents)
       else (epsMid, epsMidSustained)
+    // the Structured Streaming tail end to end (checkpointed foreachBatch,
+    // no cross-batch prefetch) — secondary honesty number at 4N
+    val epsTail = cdcRunForked(mid, logDir, nEvents, mode = "tail")._1
     val eff = (epsMid / epsLo) / (mid.toDouble / lo)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -143,6 +147,7 @@ object Bench {
       s""""events_per_sec_n_sustained":${"%.0f".format(epsLoSustained)},""" +
       s""""events_per_sec_4n_sustained":${"%.0f".format(epsMidSustained)},""" +
       s""""events_per_sec_max_sustained":${"%.0f".format(epsHiSustained)},""" +
+      s""""events_per_sec_4n_streaming_tail":${"%.0f".format(epsTail)},""" +
       s""""scaling_efficiency_n_to_4n":${"%.3f".format(eff)}}"""
     println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${"%.0f".format(epsHi)},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
   }

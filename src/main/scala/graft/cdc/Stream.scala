@@ -147,4 +147,19 @@ object Metrics {
     Files.writeString(dir.resolve("metrics.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+
+  /** Read back the per-batch lineage of a table (epoch order). */
+  def read(tableDir: String): Seq[MergeStats] = {
+    val f = Paths.get(tableDir, "metrics", "metrics.jsonl")
+    if (!Files.exists(f)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val n = mapper.readTree(l)
+      MergeStats(n.get("epoch").asLong(), n.get("applied").asBoolean(),
+        n.get("events_in").asLong(), n.get("rows_applied").asLong(),
+        n.get("conflicts").asLong(), n.get("deletes").asLong(),
+        n.get("lsn_min").asLong(), n.get("lsn_max").asLong(),
+        n.get("touched_buckets").asInt(), n.get("wall_ms").asLong())
+    }.sortBy(_.epoch)
+  }
 }

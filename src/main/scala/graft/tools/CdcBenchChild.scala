@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.cdc.CdcStream
+import graft.cdc.{CdcStream, Metrics}
 import graft.lake.LakeTable
 import org.apache.spark.sql.SparkSession
 
@@ -8,13 +8,17 @@ import org.apache.spark.sql.SparkSession
   * and metaspace pollution from other parallelism levels would otherwise
   * skew per-level timings. Prints `CDC_EPS <events/sec>` on stdout.
   *
-  * args: <cpus> <logDir> <nEvents>
+  * args: <cpus> <logDir> <nEvents> [mode]; mode `replay` (default) drives
+  * [[CdcStream.replayChunks]] (pipelined prefetch), `tail` drives the
+  * Structured Streaming file-source tail end to end (checkpointed
+  * foreachBatch — no cross-batch prefetch, Spark owns batching).
   */
 object CdcBenchChild {
   def main(args: Array[String]): Unit = {
-    val Array(cpusS, logDir, nEventsS) = args
-    val cpus = cpusS.toInt
-    val nEvents = nEventsS.toLong
+    val cpus = args(0).toInt
+    val logDir = args(1)
+    val nEvents = args(2).toLong
+    val mode = if (args.length > 3) args(3) else "replay"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"cdc-bench-$cpus")
@@ -34,9 +38,19 @@ object CdcBenchChild {
     // cost per JVM; a partial warmup leaves the remainder inside the timed
     // run, where it weighs 3× more at 8 cores (12s run) than at 2 cores
     // (38s run) and systematically depresses the measured scaling ratio.
+    val nb = sys.env.getOrElse("GRAFT_BUCKETS", "32").toInt
+    // the streaming source reads the part files INSIDE the chunk dirs;
+    // 32 files per trigger ≈ one 4M-event chunk per micro-batch
+    def runTail(tableDir: String): Unit =
+      CdcStream.tailAll(spark, s"$logDir/*", tableDir,
+        java.nio.file.Files.createTempDirectory(s"cdcb-ck-$cpus").toString,
+        maxFilesPerTrigger = 32)
+    def run(tableDir: String): Seq[graft.cdc.MergeStats] =
+      if (mode == "tail") { runTail(tableDir); Metrics.read(tableDir) }
+      else CdcStream.replayChunks(spark, logDir, tableDir)
     val warmDir = java.nio.file.Files.createTempDirectory(s"cdcb-warm-$cpus").toString
-    LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = sys.env.getOrElse("GRAFT_BUCKETS", "32").toInt)
-    CdcStream.replayChunks(spark, logDir, warmDir)
+    LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = nb)
+    run(warmDir)
     // timed replay into a fresh table. CDC_EPS = total events / total
     // replay wall — everything included. Per-batch (or steady-state-only)
     // bases became dishonest once the winners scan of batch k+1 started
@@ -48,9 +62,9 @@ object CdcBenchChild {
     // number (cold first batch dropped — a continuous tail amortizes it)
     // is still printed as CDC_EPS_SUSTAINED for context.
     val tableDir = java.nio.file.Files.createTempDirectory(s"cdcb-table-$cpus").toString
-    LakeTable.create(spark, tableDir, schemaId = 3, numBuckets = sys.env.getOrElse("GRAFT_BUCKETS", "32").toInt)
+    LakeTable.create(spark, tableDir, schemaId = 3, numBuckets = nb)
     val t0 = System.nanoTime()
-    val stats = CdcStream.replayChunks(spark, logDir, tableDir)
+    val stats = run(tableDir)
     val totalWallS = (System.nanoTime() - t0) / 1e9
     val applied = stats.filter(_.applied)
     val steady = if (applied.size > 1) applied.drop(1) else applied
