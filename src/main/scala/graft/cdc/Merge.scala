@@ -337,10 +337,10 @@ object Merge {
   private def listWritten(commitDir: String, schemaId: Int): Seq[DataFile] = {
     val root = Paths.get(commitDir)
     val BucketDir = "_bucket=(\\d+)".r
-    val paths = Files.list(root).iterator().asScala.toSeq.flatMap { sub =>
+    val paths = graft.core.Fs.list(root).flatMap { sub =>
       sub.getFileName.toString match {
         case BucketDir(b) =>
-          Files.list(sub).iterator().asScala.toSeq
+          graft.core.Fs.list(sub)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map(p => (p, b.toInt))
         case _ => Nil

@@ -69,7 +69,7 @@ object CdcStream {
       tableDir: String, maxChunks: Int = Int.MaxValue): Seq[MergeStats] = {
     val table = LakeTable.load(spark, tableDir)
     val Chunk = "chunk-(\\d+)-v(\\d+)\\.parquet".r
-    val chunks = Files.list(Paths.get(logDir)).iterator().asScala
+    val chunks = graft.core.Fs.list(Paths.get(logDir)).iterator
       .flatMap { p =>
         p.getFileName.toString match {
           case Chunk(i, v) => Some((i.toInt, v.toInt, p.toString))
@@ -114,7 +114,7 @@ object CdcStream {
   private def pathBytes(path: String): Long = {
     val p = Paths.get(path)
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.map(f => Files.size(f)).sum
+      graft.core.Fs.list(p).map(f => Files.size(f)).sum
     else Files.size(p)
   }
 

@@ -138,7 +138,7 @@ object ChangeGen {
       val v = versionAt(lo)
       val tmp = Files.createTempDirectory("graft-chunk").toString
       projectToVersion(chunk, v).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      val part = Fs.list(Paths.get(tmp))
         .find(_.getFileName.toString.endsWith(".parquet")).get
       val dst = dir.resolve(f"chunk-$idx%05d-v$v.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)

@@ -44,6 +44,14 @@ final case class Snapshot(
   * table. Readers resolve the current version by scanning meta/ for the
   * highest committed N.
   *
+  * Scale note: each manifest lists every live data file (≤ numBuckets ×
+  * small after compaction), so a commit writes O(files) JSON — ~10 MB at
+  * 10^5 buckets, a driver-side cost of ~100 ms per commit. Iceberg's
+  * manifest-list/manifest split removes that linearity; it's the one
+  * piece of the format deliberately simplified here, and it caps out far
+  * above this sandbox. Snapshot history is bounded by
+  * [[Maintenance.expireSnapshots]].
+  *
   * Schema evolution = a new snapshot pointing at a higher registry
   * schemaId; old files keep their original schemaId and are aligned
   * (null-backfill added columns, widen types) at read time.
@@ -68,10 +76,10 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
 
   /** Committed manifest versions present on disk (expiry leaves gaps). */
   def existingVersions: Seq[Int] =
-    Files.list(metaDir).iterator().asScala
+    graft.core.Fs.list(metaDir)
       .map(_.getFileName.toString)
       .collect { case ManifestName(n) => n.toInt }
-      .toSeq.sorted
+      .sorted
 
   def currentVersion: Int = existingVersions.foldLeft(-1)(math.max)
 

@@ -51,7 +51,7 @@ object Maintenance {
     val current = table.currentVersion
     val cutoff = current - keepLast + 1
     val metaDir = Paths.get(table.dir, "meta")
-    val expired = Files.list(metaDir).iterator().asScala.toSeq.filter { p =>
+    val expired = graft.core.Fs.list(metaDir).filter { p =>
       p.getFileName.toString match {
         case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toIntOption.exists(_ < cutoff)
@@ -73,12 +73,12 @@ object Maintenance {
     val dataDir = Paths.get(table.dir, "data")
     var removed = 0
     if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+      graft.core.Fs.walk(dataDir).reverse.foreach { p =>
         if (Files.isRegularFile(p)
             && !referenced.contains(p.toAbsolutePath.toString)) {
           Files.delete(p); removed += 1
         } else if (Files.isDirectory(p) && p != dataDir
-            && !Files.list(p).iterator().hasNext) {
+            && graft.core.Fs.isEmptyDir(p)) {
           Files.delete(p)
         }
       }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSession
   * and metaspace pollution from other parallelism levels would otherwise
   * skew per-level timings. Prints `CDC_EPS <events/sec>` on stdout.
   *
-  * args: <cpus> <logDir> <nEvents> [mode]; mode `replay` (default) drives
-  * [[CdcStream.replayChunks]] (pipelined prefetch), `tail` drives the
-  * Structured Streaming file-source tail end to end (checkpointed
-  * foreachBatch — no cross-batch prefetch, Spark owns batching).
+  * args: <cpus> <logDir> <nEvents> [mode] [maxChunks]; mode `replay`
+  * (default) drives [[CdcStream.replayChunks]] (pipelined prefetch),
+  * `tail` drives the Structured Streaming file-source tail end to end
+  * (checkpointed foreachBatch — no cross-batch prefetch, Spark owns
+  * batching). maxChunks limits the replay to a prefix of the log (the
+  * scaling-efficiency pairs use a shorter prefix to afford more
+  * interleaved repetitions against hypervisor noise).
   */
 object CdcBenchChild {
   def main(args: Array[String]): Unit = {
@@ -19,6 +22,7 @@ object CdcBenchChild {
     val logDir = args(1)
     val nEvents = args(2).toLong
     val mode = if (args.length > 3) args(3) else "replay"
+    val maxChunks = if (args.length > 4) args(4).toInt else Int.MaxValue
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"cdc-bench-$cpus")
@@ -47,7 +51,7 @@ object CdcBenchChild {
         maxFilesPerTrigger = 32)
     def run(tableDir: String): Seq[graft.cdc.MergeStats] =
       if (mode == "tail") { runTail(tableDir); Metrics.read(tableDir) }
-      else CdcStream.replayChunks(spark, logDir, tableDir)
+      else CdcStream.replayChunks(spark, logDir, tableDir, maxChunks)
     val warmDir = java.nio.file.Files.createTempDirectory(s"cdcb-warm-$cpus").toString
     LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = nb)
     run(warmDir)

@@ -19,7 +19,7 @@ object ScanFloor {
     val path = s"$dir/chunk-00000-v3.parquet"
     val bytes = {
       val p = java.nio.file.Paths.get(path)
-      java.nio.file.Files.list(p).mapToLong(java.nio.file.Files.size(_)).sum()
+      graft.core.Fs.list(p).map(java.nio.file.Files.size(_)).sum
     }
     def time(label: String)(f: => Long): Unit = {
       (1 to 3).foreach { i =>
