@@ -54,7 +54,7 @@ object Bench {
     * measured WORSE: fixed low cores contend with host processes.)
     */
   private def cdcRunForked(cpus: Int, logDir: String, nEvents: Long,
-      mode: String = "replay", maxChunks: Int = Int.MaxValue): (Double, Double) = {
+      mode: String = "replay", maxChunks: Int = Int.MaxValue): (Double, Double, Long) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
@@ -78,7 +78,8 @@ object Bench {
       out.linesIterator.find(_.startsWith(tag)).map(_.stripPrefix(tag).toDouble)
     val eps = grab("CDC_EPS ")
       .getOrElse(sys.error(s"child run (cpus=$cpus) produced no CDC_EPS: $out"))
-    (eps, grab("CDC_EPS_SUSTAINED ").getOrElse(eps))
+    (eps, grab("CDC_EPS_SUSTAINED ").getOrElse(eps),
+      grab("CDC_EVENTS_APPLIED ").map(_.toLong).getOrElse(nEvents))
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,18 +138,25 @@ object Bench {
     val epsMid = pairs.map(_._2._1).max
     val epsLoSustained = pairs.map(_._1._2).max
     val epsMidSustained = pairs.map(_._2._2).max
+    // actual replayed volume per efficiency run, echoed by the child
+    // (maxChunks controls it, not the env event budget)
+    val effEventsApplied = pairs.head._1._3
     val (epsHi, epsHiSustained) =
-      if (cpus > mid) cdcRunForked(cpus, logDir, nEvents)
+      if (cpus > mid) { val r = cdcRunForked(cpus, logDir, nEvents); (r._1, r._2) }
       else (epsMid, epsMidSustained)
     // the Structured Streaming tail end to end (checkpointed foreachBatch,
-    // no cross-batch prefetch) — secondary honesty number at 4N
-    val epsTail = cdcRunForked(mid, logDir, nEvents, mode = "tail")._1
+    // no cross-batch prefetch) — secondary honesty number at 4N. Max over
+    // 2 runs: cheaper than joining the 4-rep interleave but no longer a
+    // single sample exposed to one noisy host window (round-1 advice).
+    val tailReps = 2
+    val epsTail = (1 to tailReps)
+      .map(_ => cdcRunForked(mid, logDir, nEvents, mode = "tail")._1).max
     val eff = (epsMid / epsLo) / (mid.toDouble / lo)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val cdc = s"""{"events":$nEvents,"efficiency_pair_events":$effEvents,""" +
+    val cdc = s"""{"events":$nEvents,"efficiency_pair_events":$effEventsApplied,""" +
       s""""cores_n":$lo,"cores_4n":$mid,"cores_max":$cpus,""" +
       s""""events_per_sec_n":${"%.0f".format(epsLo)},""" +
       s""""events_per_sec_4n":${"%.0f".format(epsMid)},""" +
@@ -157,6 +165,7 @@ object Bench {
       s""""events_per_sec_4n_sustained":${"%.0f".format(epsMidSustained)},""" +
       s""""events_per_sec_max_sustained":${"%.0f".format(epsHiSustained)},""" +
       s""""events_per_sec_4n_streaming_tail":${"%.0f".format(epsTail)},""" +
+      s""""streaming_tail_reps":$tailReps,""" +
       s""""scaling_efficiency_n_to_4n":${"%.3f".format(eff)}}"""
     println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${"%.0f".format(epsHi)},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
   }

@@ -229,11 +229,16 @@ object Merge {
     }
     val quarantined: Long = (poison, quarantineDir) match {
       case (Some(bad), Some(qd)) =>
-        val q = joined.filter(bad)
-        q.write.mode("append").parquet(qd)
-        // count from footers of what we just appended is ambiguous across
-        // batches; count the (tiny) winners-side poison set directly
-        q.count()
+        // persist: the write job and the count job both consume this
+        // filter — uncached, each would re-run the winners scan +
+        // extractText over the full batch (round-1 verdict #6)
+        val q = joined.filter(bad).persist()
+        try {
+          q.write.mode("append").parquet(qd)
+          // count from footers of what we just appended is ambiguous across
+          // batches; count the (tiny, now cached) poison set directly
+          q.count()
+        } finally q.unpersist()
       case _ => 0L
     }
     val clean = poison.map(bad => joined.filter(!bad)).getOrElse(joined)

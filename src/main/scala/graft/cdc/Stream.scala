@@ -96,10 +96,20 @@ object CdcStream {
         val nextBatch = readChunk(nv, np)
         val nextPk = Merge.prepareKeys(nextBatch).persist()
         val nextWin = Merge.prepareWinners(nextBatch, nextPk).persist()
-        Future { // materialize both caches in the background
+        val fut = Future { // materialize both caches in the background
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
           try { nextPk.count(); nextWin.count() }
           finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
+        // a swallowed prefetch failure would silently degrade to
+        // unpipelined execution (or resurface confusingly on the critical
+        // path) — surface it, and drop the caches so the critical-path
+        // recompute starts clean (round-1 advice)
+        fut.failed.foreach { e =>
+          System.err.println(
+            s"[graft] prefetch for chunk ${i + 1} failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}) — batch will recompute on the critical path")
+          nextPk.unpersist(); nextWin.unpersist()
         }
         (nextPk, nextWin)
       }

@@ -26,4 +26,10 @@ object Fs {
     val s = Files.list(p)
     try !s.iterator().hasNext finally s.close()
   }
+
+  /** Depth-first delete; no-op if the path does not exist. */
+  def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    walk(p).sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
 }

