@@ -47,6 +47,28 @@ object ReaderQueries {
     * string → N key/value rows. Implemented as explode over a pure
     * expression parse — no Catalyst Generator needed (SURVEY.md §2.12).
     */
+  /** Deterministic reference-shaped YAML documents synthesized from the
+    * orders table: two steps, one with a key_parameters list (one scalar
+    * `value` param, one `values`-list param), plus `null` tokens to
+    * exercise the NA vocabulary. The oracle reconstructs both parsed
+    * tables straight from orders.
+    */
+  private def yamlDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey").cast("string").as("sid"),
+        concat(
+          lit("alignment:\n  used: "),
+          when(col("o_orderstatus") === "O", "true").otherwise("false"),
+          lit("\n  changed: null\n  comment: "), col("o_orderpriority"),
+          lit("\n  key_parameters:\n  - name: threshold\n    value: "),
+          col("o_totalprice").cast("string"),
+          lit("\n    unit: usd\n  - name: tags\n    values:\n    - "),
+          col("o_orderpriority"),
+          lit("\n    - cust-"), col("o_custkey").cast("string"),
+          lit("\n    relationship: in\n" +
+            "ranking:\n  used: false\n  changed: true\n  comment: null\n"))
+          .as("doc"))
+
   def parseDocKv(df: DataFrame, docCol: String): DataFrame =
     df.select(col("*"),
         explode(split(col(docCol), "\n")).as("_line"))
@@ -97,9 +119,53 @@ object ReaderQueries {
              |       CAST(n_regionkey AS BIGINT) AS n_regionkey
              |FROM nation""".stripMargin)),
 
-    // S7: synthetic YAML-ish documents from orders → key/value row pairs
-    // (ref: round3/make_round3_yaml_files.R:45-90 — one doc → Steps +
-    // Parameters rows)
+    // S7 (real shape): nested YAML documents → TWO typed tables (Steps +
+    // Parameters) via the typed-flatMap UDTF in graft.sources.YamlDoc —
+    // per-key cast registry, "null"→NA vocabulary, values-list collapse
+    // (ref: round3/make_round3_yaml_files.R:45-90, registry :12-20).
+    // Documents are synthesized deterministically from orders so the
+    // DuckDB oracle can reconstruct both outputs from the source table.
+    QueryDef(
+      "s7_steps",
+      (s, dir) => {
+        import s.implicits._
+        yamlDocs(s, dir).as[(String, String)]
+          .flatMap { case (sid, doc) => graft.sources.YamlDoc.parse(sid, doc)._1 }
+          .toDF()
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS submission_id,
+             |       'alignment' AS step, (o_orderstatus = 'O') AS used,
+             |       CAST(NULL AS BOOLEAN) AS changed,
+             |       o_orderpriority AS comment
+             |FROM orders WHERE o_orderkey < 1000
+             |UNION ALL
+             |SELECT CAST(o_orderkey AS VARCHAR), 'ranking', false, true,
+             |       CAST(NULL AS VARCHAR)
+             |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
+
+    QueryDef(
+      "s7_params",
+      (s, dir) => {
+        import s.implicits._
+        yamlDocs(s, dir).as[(String, String)]
+          .flatMap { case (sid, doc) => graft.sources.YamlDoc.parse(sid, doc)._2 }
+          .toDF()
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS submission_id,
+             |       'alignment' AS step, 'threshold' AS name,
+             |       o_totalprice AS value, CAST(NULL AS VARCHAR) AS "values",
+             |       'usd' AS unit, CAST(NULL AS VARCHAR) AS relationship
+             |FROM orders WHERE o_orderkey < 1000
+             |UNION ALL
+             |SELECT CAST(o_orderkey AS VARCHAR), 'alignment', 'tags',
+             |       CAST(NULL AS DOUBLE),
+             |       o_orderpriority || ';cust-' || o_custkey,
+             |       CAST(NULL AS VARCHAR), 'in'
+             |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
+
+    // S7 (generic kv): flat `key: value` documents → exploded kv rows —
+    // the lightweight single-table variant kept alongside the full
+    // two-table fan-out above
     QueryDef(
       "s7_doc_parse",
       (s, dir) => {

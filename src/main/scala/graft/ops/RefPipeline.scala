@@ -12,20 +12,41 @@ import org.apache.spark.sql.functions._
   */
 object RefPipeline {
 
-  /** COL_FUNCS cast registry (ref :29-46): column → target type, applied
-    * only to columns that exist (mutate_col_if_exists, ref :192-214).
+  /** COL_FUNCS cast registry — the reference's 17-entry mapping verbatim
+    * (ref :29-46): RANK/SCORE/PEP_LEN as.integer; the four binding /
+    * expression scores as.double; PROT_POS as.integer (the reference
+    * applies it AFTER separate_rows, when the cell is a single position);
+    * everything else as.character. Applied only to columns that exist
+    * (mutate_col_if_exists, ref :192-214).
     */
   val colFuncs: Seq[(String, String)] = Seq(
-    "RANK" -> "int", "SCORE" -> "int", "PEP_LEN" -> "int",
-    "HLA_ALT_BINDING" -> "double", "HLA_WT_BINDING" -> "double",
-    "HLA_ALLELE" -> "string", "ALT_EPI_SEQ" -> "string",
-    "REF_EPI_SEQ" -> "string", "VAR_ID" -> "string", "PROT_POS" -> "string",
-    "RANK_METRIC" -> "double")
+    "RANK" -> "int",
+    "HLA_ALLELE" -> "string",
+    "ALT_EPI_SEQ" -> "string",
+    "VAR_ID" -> "string",
+    "SCORE" -> "int",
+    "REF_EPI_SEQ" -> "string",
+    "PEP_LEN" -> "int",
+    "HLA_ALLELE_MUT" -> "string",
+    "HLA_ALT_BINDING" -> "double",
+    "HLA_REF_BINDING" -> "double",
+    "REF_ALLELE_EXP" -> "double",
+    "ALT_ALLELE_EXP" -> "double",
+    "RANK_METRICS" -> "string",
+    "RANK_DESC" -> "string",
+    "ADDN_INFO" -> "string",
+    "STEP_ID" -> "string",
+    "PROT_POS" -> "int")
 
-  def convertDfToTypes(df: DataFrame): DataFrame =
+  /** Registry casts over whatever subset of columns exists. `skip` holds
+    * columns whose cast must wait (PROT_POS while still ";"-delimited:
+    * the reference only casts it once separate_rows has exploded it).
+    */
+  def convertDfToTypes(df: DataFrame, skip: Set[String] = Set.empty): DataFrame =
     df.select(df.columns.map { c =>
-      colFuncs.collectFirst { case (n, t) if n == c => col(c).cast(t).as(c) }
-        .getOrElse(col(c))
+      colFuncs.collectFirst {
+        case (n, t) if n == c && !skip.contains(c) => col(c).cast(t).as(c)
+      }.getOrElse(col(c))
     }.toSeq: _*)
 
   /** check_columns (ref :217-223): abort with the missing names. */
@@ -53,9 +74,12 @@ object RefPipeline {
     * optional scoring columns.
     */
   def predictionTables(ranked: DataFrame, unranked: DataFrame): PredictionTables = {
-    // bind_rows (ref :157-161) — missing columns null-filled
+    // bind_rows (ref :157-161) — missing columns null-filled. PROT_POS is
+    // still the ";"-delimited multi-cell here, so its integer cast waits
+    // for the explode below (reference order: separate_rows first).
     val unioned = convertDfToTypes(
-      ranked.unionByName(unranked, allowMissingColumns = true))
+      ranked.unionByName(unranked, allowMissingColumns = true),
+      skip = Set("PROT_POS"))
     checkColumns(unioned, Seq("SUBMISSION_ID", "SOURCE", "HLA_ALLELE",
       "ALT_EPI_SEQ", "VAR_ID", "PROT_POS"))
 
@@ -91,10 +115,10 @@ object RefPipeline {
         explode(split(col("VAR_ID"), ":")).as("VAR_ID"))
       .withColumn("VARIANT_ID",
         concat_ws("_", col("PREDICTION_ID"), col("VAR_ID")))
-    val proteinPositions = predictions
+    val proteinPositions = convertDfToTypes(predictions
       .filter(col("PROT_POS").isNotNull)
       .select(col("PREDICTION_ID"),
-        explode(split(col("PROT_POS"), ";")).as("PROT_POS"))
+        explode(split(col("PROT_POS"), ";")).as("PROT_POS")))
 
     PredictionTables(
       predictions.drop("VAR_ID", "PROT_POS"),

@@ -229,6 +229,56 @@ object RelationalQueries {
              |  FROM events GROUP BY user_id, event_type)
              |WHERE rn = 1""".stripMargin)),
 
+    // A3b: majority-vote offset reconciliation — the reference's most
+    // intricate multi-operator composition after entry point B
+    // (ref: upload_round1_variants.R:113-152): compute diff = VAR_ID -
+    // VAR_N where both ids are present, majority-vote the diff per
+    // submission, re-key EVERY row with the voted offset, right-join back
+    // onto the observation set. Here: per-user offset = user_id % 7,
+    // rows with event_id % 5 = 0 lost their var_n (the repair target) and
+    // rows with event_id % 11 = 0 carry a WRONG offset (the minority the
+    // vote must outvote). Ties break on min(diff) — deterministic, where
+    // the reference's filter(count == max(count)) keeps all tied rows.
+    QueryDef(
+      "a3b_offset_reconcile",
+      (s, dir) => {
+        val obs = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"))
+          .withColumn("var_n",
+            when(col("event_id") % 5 === 0, lit(null).cast("long"))
+              .when(col("event_id") % 11 === 0,
+                col("event_id") - (col("user_id") % 7) - 3)
+              .otherwise(col("event_id") - (col("user_id") % 7)))
+        val diffs = obs.filter(col("var_n").isNotNull)
+          .groupBy(col("user_id"), (col("event_id") - col("var_n")).as("diff"))
+          .agg(count(lit(1)).as("n"))
+        val wVote = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("diff"))
+        val voted = diffs.withColumn("rn", row_number().over(wVote))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("diff"))
+        voted.join(obs, Seq("user_id"), "right")
+          .select(col("user_id"), col("event_id"),
+            (col("event_id") - col("diff")).as("source_row_n"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, event_id,
+             |         CASE WHEN event_id % 5 = 0 THEN NULL
+             |              WHEN event_id % 11 = 0 THEN event_id - (user_id % 7) - 3
+             |              ELSE event_id - (user_id % 7) END AS var_n
+             |  FROM events),
+             |diffs AS (
+             |  SELECT user_id, event_id - var_n AS diff, count(*) AS n
+             |  FROM obs WHERE var_n IS NOT NULL GROUP BY 1, 2),
+             |voted AS (
+             |  SELECT user_id, diff FROM (
+             |    SELECT user_id, diff,
+             |           row_number() OVER (PARTITION BY user_id
+             |                              ORDER BY n DESC, diff) AS rn
+             |    FROM diffs) WHERE rn = 1)
+             |SELECT o.user_id, o.event_id, o.event_id - v.diff AS source_row_n
+             |FROM voted v RIGHT JOIN obs o ON o.user_id = v.user_id""".stripMargin)),
+
     // A4: group-and-gather collect_set → delimited string
     // (ref: make_round3_prediction_files.R:167-173; sorted for determinism)
     QueryDef(

@@ -12,27 +12,50 @@ class RefPipelineSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("predictionTables: union, cast registry, cleanup, dedup+conflicts, bridges") {
-    // ranked rows: RANK as STRING ("1") to exercise the cast registry;
-    // epitope with junk chars; duplicate key (s1, fastq, SIINFEKL, A*02:01)
-    // at ranks 1 and 2 → conflict routing
+    // ranked rows: RANK/scores as STRINGS to exercise the cast registry
+    // (incl. the round-2 fidelity columns HLA_REF_BINDING, REF_ALLELE_EXP,
+    // ALT_ALLELE_EXP, RANK_METRICS, RANK_DESC, ADDN_INFO, STEP_ID,
+    // HLA_ALLELE_MUT); epitope with junk chars; duplicate key
+    // (s1, fastq, SIINFEKL, A*02:01) at ranks 1 and 2 → conflict routing
     val ranked = Seq(
-      ("s1", "fastq", "1", "A*02:01", "siin-fekl1", "v1:v2", "p1;p2", "9"),
-      ("s1", "fastq", "2", "A*02:01", "SIINFEKL", "v3", "p3", "8"),
-      ("s1", "fastq", "3", "B*07:02", "KVAELVHFL", "v1", null, "7"))
+      ("s1", "fastq", "1", "A*02:01", "siin-fekl1", "v1:v2", "11;12", "9",
+        "A*02:01m", "0.5", "0.75", "1.25", "2.5", "netmhc;rank", "asc", "x", "st1"),
+      ("s1", "fastq", "2", "A*02:01", "SIINFEKL", "v3", "13", "8",
+        null, null, null, null, null, null, null, null, null),
+      ("s1", "fastq", "3", "B*07:02", "KVAELVHFL", "v1", null, "7",
+        null, null, null, null, null, null, null, null, null))
       .toDF("SUBMISSION_ID", "SOURCE", "RANK", "HLA_ALLELE", "ALT_EPI_SEQ",
-        "VAR_ID", "PROT_POS", "PEP_LEN")
+        "VAR_ID", "PROT_POS", "PEP_LEN", "HLA_ALLELE_MUT", "HLA_ALT_BINDING",
+        "HLA_REF_BINDING", "REF_ALLELE_EXP", "ALT_ALLELE_EXP", "RANK_METRICS",
+        "RANK_DESC", "ADDN_INFO", "STEP_ID")
     // unranked rows: no RANK / PEP_LEN columns at all (bind_rows null-fill);
     // one row with null allele must be dropped
     val unranked = Seq(
-      ("s1", "vcf", "GILGFVFTL", "A*01:01", "v9", "p9"),
-      ("s1", "vcf", "MLDLQPETT", null, "v8", "p8"))
+      ("s1", "vcf", "GILGFVFTL", "A*01:01", "v9", "21"),
+      ("s1", "vcf", "MLDLQPETT", null, "v8", "22"))
       .toDF("SUBMISSION_ID", "SOURCE", "ALT_EPI_SEQ", "HLA_ALLELE",
         "VAR_ID", "PROT_POS")
 
     val t = RefPipeline.predictionTables(ranked, unranked)
 
-    // cast registry applied: RANK is int now
-    assert(t.predictions.schema("RANK").dataType.typeName == "integer")
+    // cast registry applied: the reference's exact COL_FUNCS types
+    val types = t.predictions.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("RANK") == "integer")
+    assert(types("PEP_LEN") == "integer")
+    assert(types("HLA_ALT_BINDING") == "double")
+    assert(types("HLA_REF_BINDING") == "double")
+    assert(types("REF_ALLELE_EXP") == "double")
+    assert(types("ALT_ALLELE_EXP") == "double")
+    assert(types("RANK_METRICS") == "string") // as.character in the ref, NOT numeric
+    assert(types("HLA_ALLELE_MUT") == "string")
+    assert(types("RANK_DESC") == "string")
+    assert(types("ADDN_INFO") == "string")
+    assert(types("STEP_ID") == "string")
+    val top = t.predictions
+      .filter(col("PREDICTION_ID") === "s1_fastq_SIINFEKL_A*02:01")
+      .select("HLA_REF_BINDING", "ALT_ALLELE_EXP", "RANK_METRICS").head()
+    assert(top.getDouble(0) == 0.75 && top.getDouble(1) == 2.5 &&
+      top.getString(2) == "netmhc;rank")
     // epitope cleanup: "siin-fekl1" → "SIINFEKL" — which COLLIDES with the
     // rank-2 row; rank 1 wins, rank 2 routed to Bad_Predictions
     val preds = t.predictions.orderBy("PREDICTION_ID")
@@ -49,10 +72,13 @@ class RefPipelineSpec extends AnyFunSuite {
       .filter(col("PREDICTION_ID") === "s1_fastq_SIINFEKL_A*02:01")
       .select("VAR_ID").collect().map(_.getString(0)).sorted
     assert(pv.toSeq == Seq("v1", "v2"))
+    // PROT_POS is cast to int AFTER the explode (reference order:
+    // separate_rows then as.integer)
+    assert(t.proteinPositions.schema("PROT_POS").dataType.typeName == "integer")
     val pp = t.proteinPositions
       .filter(col("PREDICTION_ID") === "s1_fastq_SIINFEKL_A*02:01")
-      .select("PROT_POS").collect().map(_.getString(0)).sorted
-    assert(pp.toSeq == Seq("p1", "p2"))
+      .select("PROT_POS").collect().map(_.getInt(0)).sorted
+    assert(pp.toSeq == Seq(11, 12))
     // null PROT_POS row contributes no position rows
     assert(t.proteinPositions
       .filter(col("PREDICTION_ID") === "s1_fastq_KVAELVHFL_B*07:02")
