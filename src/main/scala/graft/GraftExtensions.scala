@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   *    3-expression spelling `conv(substring(md5(cast(x as binary)),1,8),
   *    16,10)` into the fused native expression, so SQL written for
   *    engine portability (e.g. shared with a DuckDB oracle) still runs
-  *    the single-operation form here.
+  *    the single-operation form here;
+  *  - [[graft.sql.GraftSqlRule]], the SQL surface of the lake table:
+  *    SELECT over `graft.<table>` lowers to the snapshot's parquet scan
+  *    and the canonical CDC `MERGE INTO graft.<table> ...` lowers to
+  *    [[graft.cdc.Merge.applyBatch]] (pair with
+  *    `spark.sql.catalog.graft = graft.sql.GraftCatalog`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session => graft.sql.GraftSqlRule(session))
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
