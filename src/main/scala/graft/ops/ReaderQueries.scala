@@ -90,7 +90,11 @@ object ReaderQueries {
         val header = s.range(1).select(
           lit("##fileformat=VCFv4.2\n##source=graft\n#CHROM\tPOS\tID\tREF\tALT")
             .as("value"))
-        header.unionAll(body).coalesce(1).write.mode("overwrite").text(vcfDir)
+        // parallel multi-file write: the reader's preamble skip is
+        // per-line, so record files without the header parse identically
+        // (round-1 bench: the coalesce(1) single-task write was 2.2 s of
+        // pure harness cost)
+        header.unionAll(body).write.mode("overwrite").text(vcfDir)
         readVcf(s, vcfDir)
       },
       Some("""SELECT p_brand AS chrom, p_partkey AS pos, p_name AS id,
@@ -108,7 +112,9 @@ object ReaderQueries {
           when(col("n_nationkey") % 3 === 0, "n/a")
             .otherwise(col("n_name")).as("n_name"),
           col("n_regionkey").cast("string").as("n_regionkey"))
-          .coalesce(1).write.mode("overwrite")
+          // multi-file CSV: the writer emits a header per part file and
+          // the header-aware reader skips each — no single-task funnel
+          .write.mode("overwrite")
           .option("header", "true").csv(csvDir)
         readCsvNaVocab(s, csvDir)
           .select(col("n_nationkey").cast("long").as("n_nationkey"),
