@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "md5_prefix32 expects exactly 1 argument")
         Md5Prefix32(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot expects exactly 2 arguments")
+        graft.functions.DotProduct(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => FuseMd5Prefix)
   }
 }

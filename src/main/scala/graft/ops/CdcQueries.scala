@@ -21,6 +21,20 @@ object CdcQueries {
 
   import Tables.tbl
 
+  private lazy val mergeEventsDir: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-cdc-merge-events-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(p)))
+    p.toString
+  }
+
+  /** Wiped per call (idempotent reruns in one session), deleted at exit. */
+  private def freshMergeEventsDir: String = {
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(mergeEventsDir))
+    mergeEventsDir
+  }
+
   private def asChangeLog(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").select(
       col("event_id").as("lsn"),
@@ -41,15 +55,12 @@ object CdcQueries {
         val maxLsn = log.agg(max("lsn")).head().getLong(0)
         val cut1 = maxLsn / 3
         val cut2 = 2 * maxLsn / 3
-        // fixed temp location, wiped per run: createTempDirectory would
-        // accrete one full lake table per invocation across a bench/verify
-        // session (round-1 verdict hygiene nit)
-        val tableDir = {
-          val p = java.nio.file.Paths.get(
-            sys.props("java.io.tmpdir"), "graft-cdc-merge-events")
-          graft.core.Fs.deleteRecursively(p)
-          p.toString
-        }
+        // per-process temp location, wiped per invocation AND on JVM exit:
+        // createTempDirectory would accrete one full lake table per
+        // invocation across a bench/verify session (round-1 verdict
+        // hygiene nit); the pid suffix keeps concurrent JVMs (driver
+        // verify vs a local bench) from clobbering each other's table
+        val tableDir = freshMergeEventsDir
         val t = LakeTable.create(s, tableDir, schemaId = 3, numBuckets = 8)
         Seq(
           log.filter(col("lsn") <= cut1),

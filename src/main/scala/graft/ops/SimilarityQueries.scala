@@ -264,7 +264,11 @@ object SimilarityQueries {
         val candIds = cand
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
+        // checkpoint the candidate docs' shingle sets (an O(near-dups)
+        // row set): BOTH pair joins read it, and without pinning each
+        // would re-run the full tokenize+shingle scan
         val docs = docShingles(s, dir).join(candIds, "doc_id")
+          .localCheckpoint(true)
         cand
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
           .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -293,7 +297,7 @@ object SimilarityQueries {
     QueryDef(
       "d6_embedding_neardup",
       (s, dir) => {
-        val base = tbl(s, dir, "embeddings")
+        val base = Tables.tblSpread(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
         // planted duplicates: the synthetic embeddings are near-orthogonal
         // (max natural cosine ≈0.51 at sf0.01), so a 0.7 threshold over the
@@ -303,7 +307,7 @@ object SimilarityQueries {
         val emb = base.unionByName(
           base.select((col("vec_id") + 1000000L).as("vec_id"), col("e")))
         def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          graft.functions.DotProduct.dot_product(a, b)
         val bucketed = emb.withColumn("bucket",
           (0 until 8).map(p =>
             when(dot(col("e"), planeComp(p, col("e"))) >= 0,
@@ -345,12 +349,12 @@ object SimilarityQueries {
     QueryDef(
       "ann_cosine_topk",
       (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
+        val emb = Tables.tblSpread(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
         val q = emb.filter(col("vec_id") === 0)
           .select(col("e").as("qe"))
         def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          graft.functions.DotProduct.dot_product(a, b)
         emb.crossJoin(broadcast(q))
           .select(col("vec_id"),
             round(dot(col("e"), col("qe")) /
@@ -374,10 +378,10 @@ object SimilarityQueries {
     QueryDef(
       "ann_lsh_bucketed",
       (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
+        val emb = Tables.tblSpread(s, dir, "embeddings", "vec_id")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
         def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          graft.functions.DotProduct.dot_product(a, b)
         val bucketed = emb.withColumn("bucket",
           (0 until 8).map(p =>
             when(dot(col("e"), planeComp(p, col("e"))) >= 0,
@@ -419,34 +423,43 @@ object SimilarityQueries {
     QueryDef(
       "ann_ivf",
       (s, dir) => {
+        def dot(a: Column, b: Column): Column =
+          graft.functions.DotProduct.dot_product(a, b)
+        // Squared norm hoisted BELOW the spread exchange: higher-order
+        // functions run interpreted with no CSE, so an inline dot(e,e)
+        // inside the per-centroid lambda would recompute the row's norm
+        // k times per row — and CollapseProject would re-inline a mere
+        // sibling projection, but it cannot cross an Exchange. Bitwise
+        // identical to the oracle's sqrt(dot(e,e)) since it is the same
+        // double, just computed once.
         val emb = tbl(s, dir, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-        def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        def cos(a: Column, b: Column): Column =
-          dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+          .withColumn("ne", dot(col("e"), col("e")))
+          .repartition(col("vec_id"))
         // nearest centroid per vector as a PURE PROJECTION: the centroid
         // set is an IVF model — small by construction — so it rides along
-        // as one broadcast row holding an array of (cid, ce), and each
-        // vector takes argmin via array_min(transform(...)): k dot
-        // products per row, NO shuffle, NO sort, NO aggregate. The
-        // round-1 plan (window over the n×k crossjoin) shuffled and
-        // sorted the expanded rows — the bench's 2nd-slowest non-CDC
-        // query at 1.60 s; this is the verdict's argmin-projection shape.
+        // as one broadcast row holding an array of (cid, ce, nc) with the
+        // centroid norms precomputed once at build, and each vector takes
+        // argmin via array_min(transform(...)): ONE dot product per
+        // (row, centroid), NO shuffle, NO sort, NO aggregate. The round-1
+        // plan (window over the n×k crossjoin) shuffled and sorted the
+        // expanded rows — the bench's 2nd-slowest non-CDC query at 1.60 s.
         // Ties break on cid inside the struct ordering (deterministic).
         val centsRow = emb.filter(col("vec_id") % 50 === 0)
-          .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("ce")))
-            .as("cs"))
+          .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("ce"),
+            col("ne").as("nc"))).as("cs"))
         val assigned = emb.crossJoin(broadcast(centsRow))
           .withColumn("best", array_min(transform(col("cs"), c =>
-            struct(round(lit(1.0) - cos(col("e"), c.getField("ce")), 6).as("dist"),
+            struct(round(lit(1.0) - dot(col("e"), c.getField("ce")) /
+                (sqrt(col("ne")) * sqrt(c.getField("nc"))), 6).as("dist"),
               c.getField("cid").as("cid")))))
-          .select(col("vec_id"), col("e"), col("best.cid").as("cid"))
+          .select(col("vec_id"), col("e"), col("ne"), col("best.cid").as("cid"))
         val q = assigned.filter(col("vec_id") === 0)
-          .select(col("e").as("qe"), col("cid").as("qcid"))
+          .select(col("e").as("qe"), col("ne").as("qne"), col("cid").as("qcid"))
         assigned.join(broadcast(q), col("cid") === col("qcid"))
           .select(col("vec_id"), col("cid"),
-            round(cos(col("e"), col("qe")), 4).as("sim"))
+            round(dot(col("e"), col("qe")) /
+              (sqrt(col("ne")) * sqrt(col("qne"))), 4).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },

@@ -177,7 +177,7 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val table = LakeTable.load(session, tableDir)
-    val batch = org.apache.spark.sql.graft.bridge.ofRows(classic, source)
+    val batch = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
     val epoch = session.conf.getOption("graft.merge.epoch").map(_.toLong)
       .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     val v = inferSchemaVersion(batch.schema, table.currentSnapshot.schemaId)
