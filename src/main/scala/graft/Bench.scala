@@ -156,6 +156,17 @@ object Bench {
     val epsTail = (1 to tailReps)
       .map(_ => cdcRunForked(mid, logDir, nEvents, mode = "tail")._1).max
     val eff = (epsMid / epsLo) / (mid.toDouble / lo)
+    // per-rep pairwise ratios: each (lo, mid) pair ran back to back, so a
+    // noise burst hits both sides of ITS pair — the spread of these tells
+    // a reader whether the max/max headline sat in a calm or loud window
+    val effPairs = pairs.map { case ((l, _, _), (m, _, _)) =>
+      (m / l) / (mid.toDouble / lo)
+    }
+
+    // the 24M-event log is multiple GB; left behind, repeated bench runs
+    // fill the disk and a later child dies mid-run with an empty output
+    // (observed: ENOSPC after ~20 accumulated run dirs)
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(logDir))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -170,6 +181,7 @@ object Bench {
       s""""events_per_sec_max_sustained":${"%.0f".format(epsHiSustained)},""" +
       s""""events_per_sec_4n_streaming_tail":${"%.0f".format(epsTail)},""" +
       s""""streaming_tail_reps":$tailReps,""" +
+      s""""scaling_efficiency_pairs":[${effPairs.map("%.3f".format(_)).mkString(",")}],""" +
       s""""scaling_efficiency_n_to_4n":${"%.3f".format(eff)}}"""
     println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${"%.0f".format(epsHi)},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
   }

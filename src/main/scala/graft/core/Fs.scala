@@ -32,4 +32,15 @@ object Fs {
     if (!Files.exists(p)) return
     walk(p).sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
   }
+
+  /** Temp dir deleted on JVM exit — scratch inputs synthesized by bench/
+    * verify queries would otherwise accrete across runs until the disk
+    * fills (observed: a bench child dying on ENOSPC after ~20 runs'
+    * leftovers).
+    */
+  def scratchDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d)))
+    d.toString
+  }
 }

@@ -43,10 +43,6 @@ object ReaderQueries {
     }.toSeq: _*)
   }
 
-  /** S7-style document parse as a generator (UDTF analog): one document
-    * string → N key/value rows. Implemented as explode over a pure
-    * expression parse — no Catalyst Generator needed (SURVEY.md §2.12).
-    */
   /** Deterministic reference-shaped YAML documents synthesized from the
     * orders table: two steps, one with a key_parameters list (one scalar
     * `value` param, one `values`-list param), plus `null` tokens to
@@ -69,6 +65,11 @@ object ReaderQueries {
             "ranking:\n  used: false\n  changed: true\n  comment: null\n"))
           .as("doc"))
 
+  /** S7-style flat document parse as a generator (UDTF analog): one
+    * document string → N key/value rows. Implemented as explode over a
+    * pure expression parse — no Catalyst Generator needed (SURVEY.md
+    * §2.12). The full nested two-table fan-out is [[graft.sources.YamlDoc]].
+    */
   def parseDocKv(df: DataFrame, docCol: String): DataFrame =
     df.select(col("*"),
         explode(split(col(docCol), "\n")).as("_line"))
@@ -83,7 +84,7 @@ object ReaderQueries {
     QueryDef(
       "s5_vcf_reader",
       (s, dir) => {
-        val vcfDir = java.nio.file.Files.createTempDirectory("vcf").toString + "/f"
+        val vcfDir = graft.core.Fs.scratchDir("vcf") + "/f"
         val body = tbl(s, dir, "part").select(
           concat_ws("\t", col("p_brand"), col("p_partkey"), col("p_name"),
             col("p_type"), upper(col("p_name"))).as("value"))
@@ -105,7 +106,7 @@ object ReaderQueries {
     QueryDef(
       "s3_csv_na_vocab",
       (s, dir) => {
-        val csvDir = java.nio.file.Files.createTempDirectory("csvna").toString + "/f"
+        val csvDir = graft.core.Fs.scratchDir("csvna") + "/f"
         tbl(s, dir, "nation").select(
           col("n_nationkey").cast("string").as("n_nationkey"),
           // every third name becomes an NA marker

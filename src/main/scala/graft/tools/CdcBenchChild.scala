@@ -23,6 +23,18 @@ object CdcBenchChild {
     val nEvents = args(2).toLong
     val mode = if (args.length > 3) args(3) else "replay"
     val maxChunks = if (args.length > 4) args(4).toInt else Int.MaxValue
+    // this child's scratch tables/checkpoints are GBs each; clean them on
+    // exit or interleaved repetitions fill the disk (parent cleans the
+    // shared log)
+    val scratch = scala.collection.mutable.ListBuffer[String]()
+    def tmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      scratch += d
+      d
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratch.foreach(d =>
+        graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(d)))))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"cdc-bench-$cpus")
@@ -47,12 +59,11 @@ object CdcBenchChild {
     // 32 files per trigger ≈ one 4M-event chunk per micro-batch
     def runTail(tableDir: String): Unit =
       CdcStream.tailAll(spark, s"$logDir/*", tableDir,
-        java.nio.file.Files.createTempDirectory(s"cdcb-ck-$cpus").toString,
-        maxFilesPerTrigger = 32)
+        tmp(s"cdcb-ck-$cpus"), maxFilesPerTrigger = 32)
     def run(tableDir: String): Seq[graft.cdc.MergeStats] =
       if (mode == "tail") { runTail(tableDir); Metrics.read(tableDir) }
       else CdcStream.replayChunks(spark, logDir, tableDir, maxChunks)
-    val warmDir = java.nio.file.Files.createTempDirectory(s"cdcb-warm-$cpus").toString
+    val warmDir = tmp(s"cdcb-warm-$cpus")
     LakeTable.create(spark, warmDir, schemaId = 3, numBuckets = nb)
     run(warmDir)
     // timed replay into a fresh table. CDC_EPS = total events / total
@@ -65,7 +76,7 @@ object CdcBenchChild {
     // the N→4N ratio). Total wall is alignment-invariant. The steady-state
     // number (cold first batch dropped — a continuous tail amortizes it)
     // is still printed as CDC_EPS_SUSTAINED for context.
-    val tableDir = java.nio.file.Files.createTempDirectory(s"cdcb-table-$cpus").toString
+    val tableDir = tmp(s"cdcb-table-$cpus")
     LakeTable.create(spark, tableDir, schemaId = 3, numBuckets = nb)
     val t0 = System.nanoTime()
     val stats = run(tableDir)
