@@ -120,12 +120,14 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
 
   def read(): DataFrame = read(currentSnapshot)
 
-  /** Current table without lineage columns and tombstones (the user-facing
-    * web_pages view).
+  /** Table state without lineage columns and tombstones (the user-facing
+    * web_pages view) — any snapshot (time travel) or current.
     */
-  def readUser(): DataFrame =
-    read().filter(col(graft.core.Schemas.OpCol) =!= "D")
+  def readUser(s: Snapshot): DataFrame =
+    read(s).filter(col(graft.core.Schemas.OpCol) =!= "D")
       .drop(graft.core.Schemas.LsnCol, graft.core.Schemas.OpCol)
+
+  def readUser(): DataFrame = readUser(currentSnapshot)
 
   /** Read only the files of the given buckets (MERGE target pruning). */
   def readBuckets(s: Snapshot, buckets: Set[Int]): DataFrame = {

@@ -69,6 +69,24 @@ class GraftCatalog extends TableCatalog {
     GraftTable(dir)
   }
 
+  /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <n>` pins the
+    * read to snapshot n (the chain keeps expired-out gaps — a missing
+    * version throws).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val v = version.toInt
+    require(LakeTable.load(SparkSession.active, dir).existingVersions.contains(v),
+      s"snapshot v$v does not exist for $dir (expired or never committed)")
+    GraftTable(dir, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported: graft snapshots are versioned by " +
+        "commit sequence (use VERSION AS OF <n>)")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = dirFor(ident)
@@ -106,19 +124,23 @@ class GraftCatalog extends TableCatalog {
   }
 }
 
-/** A lake table as a DSv2 `Table`. The user-facing schema is the registry
-  * schema of the current snapshot (no hidden `_lsn`/`_op` columns).
-  * Capabilities are intentionally empty: reads are lowered by
+/** A lake table as a DSv2 `Table`, optionally pinned to a snapshot
+  * version (SQL time travel). The user-facing schema is the registry
+  * schema of the pinned/current snapshot (no hidden `_lsn`/`_op`
+  * columns). Capabilities are intentionally empty: reads are lowered by
   * [[GraftSqlRule]] to the snapshot's parquet files (native vectorized
   * scan) before any capability check runs, and writes go through MERGE.
   */
-final case class GraftTable(dir: String) extends Table {
+final case class GraftTable(dir: String, pinVersion: Option[Int] = None) extends Table {
   def lake: LakeTable = LakeTable.load(SparkSession.active, dir)
-  override def name(): String = dir
+  def pinnedSnapshot: graft.lake.Snapshot =
+    pinVersion.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+  override def name(): String =
+    dir + pinVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType =
-    SchemaRegistry.schemaFor(lake.currentSnapshot.schemaId)
+    SchemaRegistry.schemaFor(pinnedSnapshot.schemaId)
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
   override def properties(): util.Map[String, String] =
-    lake.currentSnapshot.summary.asJava
+    pinnedSnapshot.summary.asJava
 }

@@ -52,6 +52,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if graftTarget(m.targetTable).isDefined &&
           m.sourceTable.resolved =>
         val t = graftTarget(m.targetTable).get
+        require(t.pinVersion.isEmpty,
+          "cannot MERGE INTO a time-travel (VERSION AS OF) relation")
         validate(m)
         GraftMergeCommand(t.dir, m.sourceTable)
       case r: DataSourceV2Relation
@@ -70,7 +72,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def lowerRead(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
-    val scan = t.lake.readUser().queryExecution.analyzed
+    val scan = t.lake.readUser(t.pinnedSnapshot).queryExecution.analyzed
     val byName = scan.output.map(a => a.name -> a).toMap
     Project(r.output.map { o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)

@@ -78,6 +78,14 @@ class GraftSqlSpec extends AnyFunSuite {
         val r2 = s.sql(mergeSql(dir, src1)).collect().head
         assert(!r2.getAs[Boolean]("applied"))
       } finally s.conf.unset("graft.merge.epoch")
+
+      // SQL time travel: v1 = state after epoch 0 (b not yet deleted,
+      // a not yet updated); v0 = the empty created table
+      val v1 = s.sql(s"SELECT url, text FROM graft.`$dir` VERSION AS OF 1 ORDER BY url")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(v1.toSeq == Seq(("http://a", "text a"), ("http://b", "text b")))
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0")
+        .head().getLong(0) == 0L)
     }
   }
 
