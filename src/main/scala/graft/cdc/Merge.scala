@@ -168,7 +168,7 @@ object Merge {
     //    ~every bucket anyway, so pruning only adds a barrier: full
     //    rewrite instead, with the lineage stats job running ASYNC behind
     //    the main job and joined before the manifest publish.
-    val tableBytes = snap.files.map(_.bytes).sum
+    val tableBytes = snap.totalBytes // manifest-ref stats, no manifest reads
     val fullRewrite = batchBytesHint.exists(b => b > 0 && b * 4 > tableBytes)
 
     import scala.concurrent.{Await, Future}
@@ -286,7 +286,6 @@ object Merge {
     val deletes = st.getAs[Long]("nDeleteEvents")
 
     // 6b. publish manifest (phase 2, atomic)
-    val carried = snap.files.filterNot(f => touched.contains(f.bucket))
     val prevLast = snap.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
     val maxTsMs = Option(st.getAs[java.lang.Long]("maxTsMs"))
       .map(_.toLong).getOrElse(Long.MinValue)
@@ -303,8 +302,10 @@ object Merge {
       "conflict-count" -> conflicts.toString,
       "quarantine-count" -> quarantined.toString,
       "touched-buckets" -> touched.size.toString)
-    table.commit(Snapshot(snap.version + 1, newSchemaId, nb,
-      carried ++ written, summary))
+    // untouched bucket groups carry forward by manifest REFERENCE — commit
+    // metadata IO is O(touched), not O(live files) (manifest-list split)
+    table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
+      written, summary)
     perKeyPlan.unpersist() // no-op unless persisted (prune path / prepared)
     preparedWinners.foreach(_.unpersist())
     tp = dbg(epoch, "commit", tp)

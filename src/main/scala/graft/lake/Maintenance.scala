@@ -38,9 +38,10 @@ object Maintenance {
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
     val inherited = snap.summary.get("last-epoch")
       .map(v => Map("last-epoch" -> v)).getOrElse(Map.empty)
-    table.commit(Snapshot(snap.version + 1, snap.schemaId, snap.numBuckets,
-      written, inherited ++ Map("compaction" -> "true",
-        "compacted-from" -> snap.files.size.toString)))
+    table.commitDelta(snap, snap.version + 1, snap.schemaId,
+      (0 until snap.numBuckets).toSet, written,
+      inherited ++ Map("compaction" -> "true",
+        "compacted-from" -> snap.fileCount.toString))
   }
 
   /** Drop manifests older than the last `keepLast` snapshots. The epoch
@@ -62,14 +63,19 @@ object Maintenance {
     expired.size
   }
 
-  /** Delete every data file not referenced by any remaining manifest, and
+  /** Delete every data file not referenced by any remaining snapshot, and
+    * every manifest file not referenced by any remaining snapshot, and
     * prune empty commit directories. Safe w.r.t. crashes: phase-1-only
-    * commit dirs (data written, manifest never published) are exactly what
-    * this removes.
+    * commit dirs (data written, manifest never published) and orphan
+    * manifests (written but never referenced by a published snapshot) are
+    * exactly what this removes.
     */
   def gc(table: LakeTable): Int = {
-    val referenced = table.existingVersions.flatMap(v => table.snapshot(v).files.map(f =>
+    val snaps = table.existingVersions.map(table.snapshot)
+    val referenced = snaps.flatMap(_.files.map(f =>
       Paths.get(f.path).toAbsolutePath.toString)).toSet
+    val liveManifests = snaps.flatMap(_.manifests.map(m =>
+      Paths.get(m.path).toAbsolutePath.toString)).toSet
     val dataDir = Paths.get(table.dir, "data")
     var removed = 0
     if (Files.exists(dataDir)) {
@@ -80,6 +86,14 @@ object Maintenance {
         } else if (Files.isDirectory(p) && p != dataDir
             && graft.core.Fs.isEmptyDir(p)) {
           Files.delete(p)
+        }
+      }
+    }
+    val manifestDir = Paths.get(table.dir, "meta", "manifests")
+    if (Files.exists(manifestDir)) {
+      graft.core.Fs.list(manifestDir).foreach { p =>
+        if (!liveManifests.contains(p.toAbsolutePath.toString)) {
+          Files.delete(p); removed += 1
         }
       }
     }

@@ -48,6 +48,45 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read(t.snapshot(1)).schema("content_len").dataType.typeName == "integer")
   }
 
+  test("manifest-list split: delta commits rewrite only touched bucket groups") {
+    val dir = TestSpark.tempDir("lake")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 256) // 4 groups of 64
+    def df(bucket: Int, tag: String) =
+      DataFile(s"$dir/data/fake-$tag-$bucket.parquet", bucket, 1, 10, 3)
+    // v1: files in groups 0 (bucket 0) and 1 (bucket 70)
+    t.commitDelta(t.currentSnapshot, 1, 3, Set(0, 70),
+      Seq(df(0, "a"), df(70, "a")), Map("batch-epoch" -> "0"))
+    val s1 = t.currentSnapshot
+    assert(s1.manifests.map(_.group).sorted == Seq(0, 1))
+    assert(s1.inline.isEmpty && s1.fileCount == 2 && s1.totalBytes == 20)
+    // v2 touches only group 2 → groups 0 and 1 carried by REFERENCE
+    t.commitDelta(s1, 2, 3, Set(130), Seq(df(130, "b")), Map("batch-epoch" -> "1"))
+    val s2 = t.currentSnapshot
+    assert(s2.manifests.map(_.group).sorted == Seq(0, 1, 2))
+    val byGroup1 = s1.manifests.map(m => m.group -> m.path).toMap
+    val byGroup2 = s2.manifests.map(m => m.group -> m.path).toMap
+    assert(byGroup2(0) == byGroup1(0) && byGroup2(1) == byGroup1(1)) // reused
+    // v3 replaces bucket 0 within group 0 → only group 0's manifest rewritten
+    t.commitDelta(s2, 3, 3, Set(0), Seq(df(0, "c")), Map("batch-epoch" -> "2"))
+    val s3 = t.currentSnapshot
+    val byGroup3 = s3.manifests.map(m => m.group -> m.path).toMap
+    assert(byGroup3(0) != byGroup2(0))
+    assert(byGroup3(1) == byGroup2(1) && byGroup3(2) == byGroup2(2))
+    assert(s3.filesForBuckets(Set(0)).map(_.path) == Seq(df(0, "c").path))
+    assert(s3.filesForBuckets(Set(70, 130)).map(_.bucket).sorted == Seq(70, 130))
+    assert(s3.files.size == 3)
+    // metadata-only commit carries every manifest forward unchanged
+    t.updateProperties(Map("note" -> "x"))
+    assert(t.currentSnapshot.manifests.map(_.path).sorted == s3.manifests.map(_.path).sorted)
+    // gc with all snapshots live removes nothing; after expiry the
+    // superseded group-0 manifests (v1/v2-era) are collected
+    import graft.lake.Maintenance
+    assert(Maintenance.gc(t) == 0)
+    Maintenance.expireSnapshots(t, keepLast = 1)
+    assert(Maintenance.gc(t) > 0)
+    assert(t.currentSnapshot.files.size == 3) // live state intact
+  }
+
   test("orphan data files (crash between phases) never corrupt the table") {
     val dir = TestSpark.tempDir("lake")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 2)
