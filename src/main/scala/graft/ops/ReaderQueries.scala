@@ -188,6 +188,41 @@ object ReaderQueries {
              |SELECT o_orderkey, 'priority' AS key, o_orderpriority AS value
              |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
 
+    // S9: zip-archive extraction (ref: round3_setup/
+    // extract_submission_files.R:43-51). The harness packs supplier rows
+    // into one deterministic zip per partition (executor-side writes — the
+    // scale shape: each task stages its own archive), then the reader
+    // fans archives out to member rows via binaryFile + flatMap.
+    QueryDef(
+      "s9_zip_extract",
+      (s, dir) => {
+        import s.implicits._
+        val zipDir = graft.core.Fs.scratchDir("zips")
+        tbl(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("k"), col("s_name"),
+            col("s_nationkey").cast("long").as("nk"))
+          .repartition(4, col("nk"))
+          .as[(Long, String, Long)]
+          .foreachPartition { it: Iterator[(Long, String, Long)] =>
+            if (it.hasNext) {
+              val members = it.map { case (k, n, nk) =>
+                (s"s$k.txt", s"$n:$nk".getBytes("UTF-8"))
+              }
+              graft.sources.ZipArchive.writeZip(
+                s"$zipDir/part-${java.util.UUID.randomUUID().toString.take(8)}.zip",
+                members)
+            }
+          }
+        s.read.format("binaryFile").load(zipDir)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(b => graft.sources.ZipArchive.entries(b)
+            .map { case (m, c) => (m, new String(c, "UTF-8")) })
+          .toDF("member", "content")
+      },
+      Some("""SELECT 's' || s_suppkey || '.txt' AS member,
+             |       s_name || ':' || s_nationkey AS content
+             |FROM supplier""".stripMargin)),
+
     // P4: drop all-null columns in one aggregate pass
     // (ref: remove_empty_cols, round1/make_round1_prediction_files.R:41-43)
     QueryDef(

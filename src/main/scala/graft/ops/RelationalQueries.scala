@@ -508,6 +508,45 @@ object RelationalQueries {
              |       split_part(o_orderpriority, '-', 2) AS pri_name
              |FROM orders""".stripMargin)),
 
+    // R7: transpose (ref: utils.R:55-74 transpose_df via matrix t()).
+    // Small-data-only BY CONTRACT, as in the reference: the output grows
+    // one COLUMN per input row, so it is only ever run on driver-sized
+    // frames (the reference applies it to per-submission summaries).
+    // melt-to-(col,key,val) + pivot keeps it declarative; the pivot's
+    // distinct-values job is the documented small-data cost.
+    QueryDef(
+      "r7_transpose",
+      (s, dir) => {
+        val src = tbl(s, dir, "region")
+          .select(col("r_regionkey").cast("string").as("_k"),
+            col("r_name"),
+            length(col("r_name")).cast("string").as("name_len"))
+        val cols = Seq("r_name", "name_len")
+        val melted = src.select(col("_k"),
+          explode(array(cols.map(c =>
+            struct(lit(c).as("col"), col(c).as("v"))): _*)).as("e"))
+          .select(col("_k"), col("e.col").as("col"), col("e.v").as("v"))
+        val pivoted = melted.groupBy("col").pivot("_k").agg(first("v"))
+        pivoted.select(col("col") +:
+          pivoted.columns.filterNot(_ == "col").sorted
+            .map(c => col(c).as(s"k$c")): _*)
+      },
+      Some("""SELECT 'r_name' AS col,
+             |  max(CASE WHEN r_regionkey = 0 THEN r_name END) AS k0,
+             |  max(CASE WHEN r_regionkey = 1 THEN r_name END) AS k1,
+             |  max(CASE WHEN r_regionkey = 2 THEN r_name END) AS k2,
+             |  max(CASE WHEN r_regionkey = 3 THEN r_name END) AS k3,
+             |  max(CASE WHEN r_regionkey = 4 THEN r_name END) AS k4
+             |FROM region
+             |UNION ALL
+             |SELECT 'name_len',
+             |  max(CASE WHEN r_regionkey = 0 THEN CAST(length(r_name) AS VARCHAR) END),
+             |  max(CASE WHEN r_regionkey = 1 THEN CAST(length(r_name) AS VARCHAR) END),
+             |  max(CASE WHEN r_regionkey = 2 THEN CAST(length(r_name) AS VARCHAR) END),
+             |  max(CASE WHEN r_regionkey = 3 THEN CAST(length(r_name) AS VARCHAR) END),
+             |  max(CASE WHEN r_regionkey = 4 THEN CAST(length(r_name) AS VARCHAR) END)
+             |FROM region""".stripMargin)),
+
     // ----- scalar functions (SURVEY §2.10) -----
 
     // F1: regex extract (ref: upload_round1_submissions.R:18)
