@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
-      CdcQueries.defs ++ ReaderQueries.defs ++ MultimodalQueries.defs
+      CdcQueries.defs ++ ReaderQueries.defs ++ MultimodalQueries.defs ++
+      WebQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.functions.UrlNorm
+
+/** Web-text pipeline operators around the engine's key domain: URL
+  * canonicalization (two crawl variants of one page must merge to ONE CDC
+  * key), canonical-key exact dedup, and PII redaction for training-data
+  * export. Inputs are synthesized deterministically from testdata tables
+  * so the DuckDB oracle states the EXPECTED output independently (not by
+  * re-running the same regexes).
+  */
+object WebQueries {
+
+  import Tables.tbl
+
+  /** Three crawl-variants of the same logical page per customer: cased
+    * scheme/host + trailing slash; tracking param; explicit default port
+    * + fragment. All must canonicalize to
+    * `https://www.example-<k%50>.com/Products/<k>`.
+    */
+  private def urlVariants(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = tbl(s, dir, "customer").select(col("c_custkey"),
+      concat(lit("www.example-"), col("c_custkey") % 50, lit(".com")).as("host"),
+      concat(lit("/Products/"), col("c_custkey")).as("path"))
+    base.select(col("c_custkey"), lit("cased").as("variant"),
+        concat(lit("HTTPS://"), upper(col("host")), col("path"), lit("/")).as("url"))
+      .unionAll(base.select(col("c_custkey"), lit("tracked"),
+        concat(lit("https://"), col("host"), col("path"), lit("?utm_source=feed&utm_campaign=x"))))
+      .unionAll(base.select(col("c_custkey"), lit("ported"),
+        concat(lit("https://"), col("host"), lit(":443"), col("path"), lit("#top"))))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // F13: URL canonicalization — the CDC key normalizer (UrlNorm)
+    QueryDef(
+      "f13_url_canonicalize",
+      (s, dir) => urlVariants(s, dir)
+        .select(col("c_custkey"), col("variant"),
+          UrlNorm.normalize(col("url")).as("canon")),
+      Some("""SELECT c_custkey, v.variant,
+             |       'https://www.example-' || (c_custkey % 50) || '.com/Products/' || c_custkey AS canon
+             |FROM customer, (VALUES ('cased'), ('tracked'), ('ported')) v(variant)""".stripMargin)),
+
+    // D7: exact dedup on the CANONICAL key — all crawl variants of a page
+    // collapse to one row (hash-groupBy on the normalized key; one
+    // map-side-combined shuffle, the same shape as d1 exact dedup)
+    QueryDef(
+      "d7_canonical_url_dedup",
+      (s, dir) => urlVariants(s, dir)
+        .groupBy(UrlNorm.normalize(col("url")).as("canon"))
+        .agg(count(lit(1)).as("n_variants"), min(col("url")).as("kept_url")),
+      Some("""SELECT 'https://www.example-' || (c_custkey % 50) || '.com/Products/' || c_custkey AS canon,
+             |       3 AS n_variants,
+             |       'HTTPS://WWW.EXAMPLE-' || (c_custkey % 50) || '.COM/Products/' || c_custkey || '/' AS kept_url
+             |FROM customer""".stripMargin)),
+
+    // T6: PII redaction for training-data export — emails and phone
+    // numbers replaced by placeholder tokens; global regexp_replace, pure
+    // codegen. The oracle asserts the EXPECTED redacted text directly.
+    QueryDef(
+      "t6_redact_pii",
+      (s, dir) => {
+        val withPii = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" Contact user"), col("doc_id"),
+              lit("@mail.example.com or call +1-555-"),
+              (lit(1000) + col("doc_id") % 9000)).as("text"))
+        withPii.select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+", "[EMAIL]"),
+            "\\+[0-9][0-9-]{6,}", "[PHONE]").as("redacted"))
+      },
+      Some("""SELECT doc_id,
+             |       text || ' Contact [EMAIL] or call [PHONE]' AS redacted
+             |FROM documents""".stripMargin))
+  )
+}
