@@ -45,7 +45,7 @@ final case class Snapshot(
 
   /** All live data files — loads every manifest (full-scan paths only). */
   lazy val files: Seq[DataFile] =
-    inline ++ manifests.flatMap(LakeTable.loadManifest)
+    inline ++ LakeTable.loadManifests(manifests)
 
   /** Files of the given buckets, reading only intersecting manifests —
     * O(touched-groups) driver IO, the incremental-MERGE fast path.
@@ -53,8 +53,8 @@ final case class Snapshot(
   def filesForBuckets(buckets: Set[Int]): Seq[DataFile] = {
     val bpm = LakeTable.bucketsPerManifest
     val groups = buckets.map(_ / bpm)
-    (inline ++ manifests.filter(m => groups.contains(m.group))
-      .flatMap(LakeTable.loadManifest))
+    (inline ++ LakeTable.loadManifests(
+      manifests.filter(m => groups.contains(m.group))))
       .filter(f => buckets.contains(f.bucket))
   }
 
@@ -260,7 +260,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       (if (prev.inline.nonEmpty) prev.inline.map(_.bucket / bpm) else Nil) ++
       newFiles.map(_.bucket / bpm)
     val (dirty, carried) = prev.manifests.partition(m => touchedGroups.contains(m.group))
-    val keepFromDirty = (prev.inline ++ dirty.flatMap(loadManifest))
+    val keepFromDirty = (prev.inline ++ loadManifests(dirty))
       .filterNot(f => touchedBuckets.contains(f.bucket))
     val regrouped = (keepFromDirty ++ newFiles).groupBy(_.bucket / bpm)
     val rewritten = regrouped.toSeq.map { case (g, fs) =>
@@ -307,6 +307,23 @@ object LakeTable {
     * to (de)serialize, at any table size this engine targets.
     */
   val bucketsPerManifest: Int = 64
+
+  /** Load many manifests with pooled driver IO. Serial reads are fine on
+    * a local FS but become the commit/planning floor on an object store
+    * (~50 ms/GET × hundreds of touched groups); the pool bounds that at
+    * pool-depth round trips, same policy as Merge's footer reads.
+    */
+  private[lake] def loadManifests(ms: Seq[ManifestRef]): Seq[DataFile] = {
+    if (ms.isEmpty) return Nil
+    if (ms.size == 1) return loadManifest(ms.head)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, ms.size))
+    try {
+      ms.map(m => pool.submit(new java.util.concurrent.Callable[Seq[DataFile]] {
+        def call(): Seq[DataFile] = loadManifest(m)
+      })).flatMap(_.get())
+    } finally pool.shutdown()
+  }
 
   /** Read one manifest file → its data-file list. */
   private[lake] def loadManifest(m: ManifestRef): Seq[DataFile] = {

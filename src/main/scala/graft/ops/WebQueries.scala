@@ -20,7 +20,11 @@ object WebQueries {
     * `https://www.example-<k%50>.com/Products/<k>`.
     */
   private def urlVariants(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val base = tbl(s, dir, "customer").select(col("c_custkey"),
+    // tblSpread: the ~8-regex normalize chain over |customer|×3 rows is
+    // CPU-bound, and the driver testdata is one parquet row group — spread
+    // by key or the whole chain runs on one core (memory: 1-row-group
+    // pitfall; measured 2.8 s → sub-second at sf0.1)
+    val base = Tables.tblSpread(s, dir, "customer", "c_custkey").select(col("c_custkey"),
       concat(lit("www.example-"), col("c_custkey") % 50, lit(".com")).as("host"),
       concat(lit("/Products/"), col("c_custkey")).as("path"))
     base.select(col("c_custkey"), lit("cased").as("variant"),

@@ -60,13 +60,34 @@ class GraftCatalog extends TableCatalog {
         .toArray
     }
 
-  override def tableExists(ident: Identifier): Boolean =
-    LakeTable.exists(dirFor(ident))
+  /** `name$kind` → (base table dir, metadata kind) for the Iceberg-style
+    * metadata tables (`$history`, `$files`, `$manifests`, `$metrics`).
+    */
+  private def metaSplit(ident: Identifier): Option[(String, String)] = {
+    val n = ident.name()
+    val i = n.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val kind = n.substring(i + 1)
+      if (!GraftMetaTables.kinds.contains(kind)) None
+      else Some((dirFor(Identifier.of(ident.namespace(), n.substring(0, i))), kind))
+    }
+  }
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = dirFor(ident)
-    if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
-    GraftTable(dir)
+  override def tableExists(ident: Identifier): Boolean =
+    metaSplit(ident) match {
+      case Some((dir, _)) => LakeTable.exists(dir)
+      case None => LakeTable.exists(dirFor(ident))
+    }
+
+  override def loadTable(ident: Identifier): Table = metaSplit(ident) match {
+    case Some((dir, kind)) =>
+      if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+      GraftMetaTable(dir, kind)
+    case None =>
+      val dir = dirFor(ident)
+      if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+      GraftTable(dir)
   }
 
   /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <n>` pins the
@@ -74,12 +95,15 @@ class GraftCatalog extends TableCatalog {
     * version throws).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = dirFor(ident)
+    val (dir, kind) = metaSplit(ident)
+      .map { case (d, k) => (d, Some(k)) }
+      .getOrElse((dirFor(ident), None))
     if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
     val v = version.toInt
     require(LakeTable.load(SparkSession.active, dir).existingVersions.contains(v),
       s"snapshot v$v does not exist for $dir (expired or never committed)")
-    GraftTable(dir, Some(v))
+    kind.map(k => GraftMetaTable(dir, k, Some(v)): Table)
+      .getOrElse(GraftTable(dir, Some(v)))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =

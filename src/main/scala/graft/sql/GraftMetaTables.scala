@@ -1,0 +1,108 @@
+package graft.sql
+
+import graft.cdc.Metrics
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability}
+import org.apache.spark.sql.types._
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style SQL metadata tables: `graft.t$history`, `graft.t$files`,
+  * `graft.t$manifests`, `graft.t$metrics` expose the snapshot chain, the
+  * live file inventory, the manifest list, and the per-batch lineage/
+  * throughput sink to plain `spark.sql` — the queryable face of the north
+  * star's "per-partition lineage + metrics". All four are driver-sized
+  * metadata (bounded by snapshot retention / manifest grouping), built as
+  * local relations — no executor work.
+  */
+object GraftMetaTables {
+
+  val kinds: Set[String] = Set("history", "files", "manifests", "metrics")
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("num_buckets", IntegerType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("epoch", LongType, nullable = true),
+    StructField("rows_applied", LongType, nullable = true),
+    StructField("conflicts", LongType, nullable = true),
+    StructField("lsn_min", LongType, nullable = true),
+    StructField("lsn_max", LongType, nullable = true),
+    StructField("summary", MapType(StringType, StringType), nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false)))
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket_group", IntegerType, nullable = false),
+    StructField("num_files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("epoch", LongType, nullable = false),
+    StructField("applied", BooleanType, nullable = false),
+    StructField("events_in", LongType, nullable = false),
+    StructField("rows_applied", LongType, nullable = false),
+    StructField("conflicts", LongType, nullable = false),
+    StructField("deletes", LongType, nullable = false),
+    StructField("lsn_min", LongType, nullable = false),
+    StructField("lsn_max", LongType, nullable = false),
+    StructField("touched_buckets", IntegerType, nullable = false),
+    StructField("wall_ms", LongType, nullable = false)))
+
+  def schemaFor(kind: String): StructType = kind match {
+    case "history"   => historySchema
+    case "files"     => filesSchema
+    case "manifests" => manifestsSchema
+    case "metrics"   => metricsSchema
+  }
+
+  def df(spark: SparkSession, dir: String, kind: String,
+      pinVersion: Option[Int]): DataFrame = {
+    val lake = LakeTable.load(spark, dir)
+    def snap = pinVersion.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+    val rows: Seq[Row] = kind match {
+      case "history" =>
+        lake.existingVersions.map(lake.snapshot).map { s =>
+          def l(k: String): java.lang.Long =
+            s.summary.get(k).map(v => java.lang.Long.valueOf(v.toLong)).orNull
+          Row(s.version, s.schemaId, s.numBuckets, s.fileCount, s.totalBytes,
+            l("batch-epoch"), l("rows-applied"), l("conflict-count"),
+            l("source-lsn-min"), l("source-lsn-max"), s.summary)
+        }
+      case "files" =>
+        snap.files.map(f => Row(f.path, f.bucket, f.rows, f.bytes, f.schemaId))
+      case "manifests" =>
+        snap.manifests.map(m => Row(m.path, m.group, m.numFiles, m.rows, m.bytes))
+      case "metrics" =>
+        Metrics.read(dir).map(s => Row(s.epoch, s.applied, s.eventsIn,
+          s.rowsApplied, s.conflicts, s.deletes, s.lsnMin, s.lsnMax,
+          s.touchedBuckets, s.wallMs))
+    }
+    spark.createDataFrame(rows.asJava, schemaFor(kind))
+  }
+}
+
+/** DSv2 handle for a metadata table; reads are lowered by [[GraftSqlRule]]
+  * to a driver-built local relation. `pinVersion` supports
+  * `graft.`t$files` VERSION AS OF n` (history/metrics ignore the pin —
+  * they are whole-chain views).
+  */
+final case class GraftMetaTable(dir: String, kind: String,
+    pinVersion: Option[Int] = None) extends Table {
+  override def name(): String = s"$dir$$$kind"
+  override def schema(): StructType = GraftMetaTables.schemaFor(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+}

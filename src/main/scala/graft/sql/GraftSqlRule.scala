@@ -59,6 +59,11 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !mergeTargets.contains(r) =>
         lowerRead(r, r.table.asInstanceOf[GraftTable])
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMetaTable] =>
+        val t = r.table.asInstanceOf[GraftMetaTable]
+        lowerTo(r,
+          GraftMetaTables.df(spark, t.dir, t.kind, t.pinVersion)
+            .queryExecution.analyzed)
     }
   }
 
@@ -71,8 +76,11 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def lowerRead(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
-    val scan = t.lake.readUser(t.pinnedSnapshot).queryExecution.analyzed
+  private def lowerRead(r: DataSourceV2Relation, t: GraftTable): LogicalPlan =
+    lowerTo(r, t.lake.readUser(t.pinnedSnapshot).queryExecution.analyzed)
+
+  /** Graft the replacement plan onto the relation's attribute ids. */
+  private def lowerTo(r: DataSourceV2Relation, scan: LogicalPlan): LogicalPlan = {
     val byName = scan.output.map(a => a.name -> a).toMap
     Project(r.output.map { o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)
@@ -184,6 +192,9 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
       .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     val v = inferSchemaVersion(batch.schema, table.currentSnapshot.schemaId)
     val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v)
+    // same lineage sink as the stream drivers — SQL merges show up in
+    // the $metrics metadata table too
+    if (s.applied) graft.cdc.Metrics.append(tableDir, s)
     Seq(Row(s.epoch, s.applied, s.eventsIn, s.rowsApplied, s.conflicts, s.deletes))
   }
 }

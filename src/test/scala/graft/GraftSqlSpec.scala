@@ -89,6 +89,57 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables: $history/$files/$manifests/$metrics via SQL") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlmeta")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      val src = """SELECT * FROM VALUES
+        |  (1L, 'U', 'http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  (2L, 'U', 'http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'en', 6L)
+        |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin
+      s.sql(mergeSql(dir, src)).collect()
+
+      // $history: v0 (create) + v1 (merge), lineage columns populated
+      val hist = s.sql(
+        s"SELECT version, epoch, rows_applied, conflicts FROM graft.`$dir$$history` ORDER BY version")
+        .collect()
+      assert(hist.length == 2)
+      assert(hist(1).getLong(1) == 0L && hist(1).getLong(2) == 2L
+        && hist(1).getLong(3) == 0L)
+      // summary map round-trips through SQL
+      assert(s.sql(
+        s"SELECT summary['source-lsn-max'] FROM graft.`$dir$$history` WHERE version = 1")
+        .head().getString(0) == "2")
+
+      // $files: live inventory matches the snapshot; aggregates compose
+      val snap = graft.lake.LakeTable.load(s, dir).currentSnapshot
+      assert(s.sql(s"SELECT sum(rows) FROM graft.`$dir$$files`")
+        .head().getLong(0) == 2L)
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files`")
+        .head().getLong(0) == snap.files.size.toLong)
+
+      // $manifests: the manifest list with per-group stats
+      assert(s.sql(s"SELECT sum(num_files) FROM graft.`$dir$$manifests`")
+        .head().getLong(0) == snap.fileCount.toLong)
+
+      // $metrics: the per-batch throughput/lineage sink — the SQL MERGE
+      // above appended its own row (epoch 0); add a stream-driver-shaped
+      // row and read both back
+      graft.cdc.Metrics.append(dir, graft.cdc.MergeStats(7L, applied = true,
+        10L, 8L, 2L, 1L, 100L, 109L, 3, 42L))
+      val m = s.sql(
+        s"SELECT epoch, events_in, touched_buckets FROM graft.`$dir$$metrics` ORDER BY epoch")
+        .collect()
+      assert(m.length == 2)
+      assert(m(0).getLong(0) == 0L && m(0).getLong(1) == 2L)
+      assert(m(1).getLong(0) == 7L && m(1).getLong(1) == 10L && m(1).getInt(2) == 3)
+
+      // VERSION AS OF pins $files to the snapshot (v0 = empty table)
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files` VERSION AS OF 0")
+        .head().getLong(0) == 0L)
+    }
+  }
+
   test("CREATE TABLE DDL mints a lake table from a registry schema") {
     withSqlSession { s =>
       val wh = TestSpark.tempDir("sqlwh")
