@@ -67,7 +67,14 @@ object CdcQueries {
           log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
           log.filter(col("lsn") > cut2)
         ).zipWithIndex.foreach { case (batch, epoch) =>
-          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+          // Catalyst's size estimate (same policy as CdcStream.tail): each
+          // third-of-the-log batch is table-sized, so the merge takes the
+          // full-rewrite path and runs its lineage stats ASYNC instead of
+          // paying the prune path's blocking stats barrier (~1 s/batch
+          // here)
+          val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
         }
         log.unpersist()
         t.readUser().select(
