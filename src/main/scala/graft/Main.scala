@@ -1,0 +1,113 @@
+package graft
+
+import graft.cdc.{CdcStream, Merge, Metrics}
+import graft.core.SchemaRegistry
+import graft.lake.{LakeTable, Maintenance}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point (north star: "runs via spark-submit on
+  * multi-executor clusters"). The master/executor topology comes entirely
+  * from the submit conf — nothing here pins local mode:
+  *
+  * {{{
+  *   spark-submit --class graft.Main <jar> create  --table /lake/pages --buckets 4096
+  *   spark-submit --class graft.Main <jar> tail    --table /lake/pages --log /wal --checkpoint /ck
+  *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
+  *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
+  *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
+  *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
+  *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
+  *   spark-submit --class graft.Main <jar> show    --table /lake/pages
+  * }}}
+  *
+  * Reference analog: the operator-facing run scripts
+  * (/root/reference/upload_data/Submissions/round3/upload_round3_files_to_cloud.sh,
+  * query_queues.sh) collapsed into one governed CLI.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args.toSeq).foreach(println)
+    finally spark.stop()
+  }
+
+  /** Session-injected core (unit-testable); returns printed report lines. */
+  def run(spark: SparkSession, args: Seq[String]): Seq[String] = {
+    val (cmd, opts) = parse(args)
+    def table = opts.getOrElse("table",
+      sys.error(s"$cmd requires --table <dir>"))
+    def schemaVersion =
+      opts.get("schema-version").map(_.toInt).getOrElse(SchemaRegistry.latestVersion)
+    cmd match {
+      case "create" =>
+        val t = LakeTable.create(spark, table, schemaId = schemaVersion,
+          numBuckets = opts.get("buckets").map(_.toInt).getOrElse(1024))
+        Seq(s"created $table v${t.currentVersion} schema=$schemaVersion")
+      case "tail" =>
+        CdcStream.tailAll(spark, opts("log"), table, opts("checkpoint"),
+          schemaVersion,
+          opts.get("max-files-per-trigger").map(_.toInt).getOrElse(1))
+        report(spark, table)
+      case "replay" =>
+        val stats = CdcStream.replayChunks(spark, opts("log"), table,
+          opts.get("max-chunks").map(_.toInt).getOrElse(Int.MaxValue))
+        stats.map(s => s"epoch=${s.epoch} applied=${s.applied} " +
+          s"events=${s.eventsIn} rows=${s.rowsApplied} " +
+          s"conflicts=${s.conflicts} wallMs=${s.wallMs}") ++ report(spark, table)
+      case "merge" =>
+        val t = LakeTable.load(spark, table)
+        val batch = spark.read.parquet(opts("batch"))
+        val s = Merge.applyBatch(spark, t, batch,
+          epoch = opts("epoch").toLong, batchSchemaVersion = schemaVersion,
+          quarantineDir = opts.get("quarantine"))
+        if (s.applied) Metrics.append(table, s)
+        Seq(s"epoch=${s.epoch} applied=${s.applied} events=${s.eventsIn} " +
+          s"rows=${s.rowsApplied} conflicts=${s.conflicts} " +
+          s"quarantined=${s.quarantined}")
+      case "compact" =>
+        val snap = Maintenance.compact(spark, LakeTable.load(spark, table),
+          purgeTombstones = opts.contains("purge-tombstones"))
+        Seq(s"compacted $table -> v${snap.version} files=${snap.fileCount}")
+      case "expire" =>
+        val n = Maintenance.expireSnapshots(LakeTable.load(spark, table),
+          keepLast = opts("keep-last").toInt)
+        Seq(s"expired $n snapshots")
+      case "gc" =>
+        Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table))} files")
+      case "show" =>
+        report(spark, table)
+      case other =>
+        sys.error(s"unknown command '$other' " +
+          "(create|tail|replay|merge|compact|expire|gc|show)")
+    }
+  }
+
+  private def report(spark: SparkSession, dir: String): Seq[String] = {
+    val t = LakeTable.load(spark, dir)
+    val s = t.currentSnapshot
+    Seq(s"table=$dir version=${s.version} schema=${s.schemaId} " +
+      s"buckets=${s.numBuckets} files=${s.fileCount} bytes=${s.totalBytes} " +
+      s"lastEpoch=${t.lastCommittedEpoch.getOrElse(-1L)} " +
+      s"lsnMax=${s.summary.getOrElse("source-lsn-max", "-")} " +
+      s"conflicts=${s.summary.getOrElse("conflict-count", "-")}")
+  }
+
+  /** `cmd --key value --flag` → (cmd, opts); bare flags map to "". */
+  private[graft] def parse(args: Seq[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, "usage: <command> [--key value ...]")
+    var opts = Map.empty[String, String]
+    var i = 1
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got '$a'")
+      val k = a.stripPrefix("--")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        opts += k -> args(i + 1); i += 2
+      } else { opts += k -> ""; i += 1 }
+    }
+    (args.head, opts)
+  }
+}

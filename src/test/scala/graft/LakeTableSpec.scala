@@ -87,6 +87,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.currentSnapshot.files.size == 3) // live state intact
   }
 
+  test("commitDelta race: loser fails cleanly, its orphan manifests are collected") {
+    val dir = TestSpark.tempDir("lake")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 128)
+    def df(bucket: Int, tag: String) =
+      DataFile(s"$dir/data/fake-$tag-$bucket.parquet", bucket, 1, 10, 3)
+    val s0 = t.currentSnapshot
+    t.commitDelta(s0, 1, 3, Set(1), Seq(df(1, "winner")), Map("batch-epoch" -> "0"))
+    // a racing committer that computed its delta from the SAME prev loses
+    // with a clean error — after having already written its manifest files
+    intercept[IllegalStateException] {
+      t.commitDelta(s0, 1, 3, Set(2), Seq(df(2, "loser")), Map("batch-epoch" -> "0"))
+    }
+    assert(t.currentVersion == 1)
+    assert(t.currentSnapshot.files.map(_.path) == Seq(df(1, "winner").path))
+    // the loser's unreferenced manifest is an orphan until gc
+    import graft.lake.Maintenance
+    assert(Maintenance.gc(t) >= 1)
+    assert(t.currentSnapshot.files.map(_.path) == Seq(df(1, "winner").path))
+  }
+
   test("orphan data files (crash between phases) never corrupt the table") {
     val dir = TestSpark.tempDir("lake")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 2)

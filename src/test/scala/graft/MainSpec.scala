@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark-submit CLI driven end to end against a session-injected
+  * SparkSession: create → merge (staged parquet batch) → show → compact →
+  * expire → gc over one table lifecycle.
+  */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("CLI lifecycle: create, merge, show, compact, expire, gc") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("cli-table")
+    val batchDir = TestSpark.tempDir("cli-batch") + "/b0"
+
+    val out = Main.run(spark, Seq("create", "--table", dir, "--buckets", "8"))
+    assert(out.head.contains("created") && out.head.contains("v0"))
+
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, "U", "http://a", ts, null: Array[Byte], "text a", "en", 6L),
+      (2L, "U", "http://b", ts, null: Array[Byte], "text b", "en", 6L),
+      (3L, "U", "http://a", new java.sql.Timestamp(ts.getTime + 1000),
+        null: Array[Byte], "text a2", "en", 7L))
+      .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+      .write.parquet(batchDir)
+
+    val m = Main.run(spark, Seq("merge", "--table", dir,
+      "--batch", batchDir, "--epoch", "0"))
+    assert(m.head.contains("applied=true") && m.head.contains("events=3")
+      && m.head.contains("rows=2") && m.head.contains("conflicts=1"))
+
+    // exactly-once: same epoch replays as a no-op
+    val m2 = Main.run(spark, Seq("merge", "--table", dir,
+      "--batch", batchDir, "--epoch", "0"))
+    assert(m2.head.contains("applied=false"))
+
+    val show = Main.run(spark, Seq("show", "--table", dir))
+    assert(show.head.contains("version=1") && show.head.contains("lastEpoch=0"))
+
+    val c = Main.run(spark, Seq("compact", "--table", dir))
+    assert(c.head.contains("v2"))
+    assert(Main.run(spark, Seq("expire", "--table", dir, "--keep-last", "1"))
+      .head.startsWith("expired 2"))
+    Main.run(spark, Seq("gc", "--table", dir))
+    // table still reads correctly after maintenance
+    val t = graft.lake.LakeTable.load(spark, dir)
+    assert(t.readUser().count() == 2)
+    assert(t.readUser().filter($"url" === "http://a").head().getAs[String]("text") == "text a2")
+  }
+
+  test("CLI arg parser and unknown-command guard") {
+    assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
+    assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))
+      == ("compact", Map("table" -> "/t", "purge-tombstones" -> "")))
+    intercept[RuntimeException] { Main.run(spark, Seq("frobnicate")) }
+    intercept[RuntimeException] { Main.run(spark, Seq("gc")) } // no --table
+  }
+}
