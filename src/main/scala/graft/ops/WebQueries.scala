@@ -59,6 +59,10 @@ object WebQueries {
         // 3.2 s vs 0.6 s for the identical rows)
         .select(UrlNorm.normalize(col("url")).as("canon"), col("url"))
         .groupBy("canon")
+        // min over a string buffer plans as SortAggregate (varlen agg
+        // buffers have no hash path in this Spark build) — still one
+        // exchange, partial-agg'd, fully parallel; per-key group size is
+        // bounded by the variant fan-in so the local sorts stay tiny
         .agg(count(lit(1)).as("n_variants"), min(col("url")).as("kept_url")),
       Some("""SELECT 'https://www.example-' || (c_custkey % 50) || '.com/Products/' || c_custkey AS canon,
              |       3 AS n_variants,
