@@ -25,7 +25,12 @@ import scala.jdk.CollectionConverters._
   */
 object CdcStream {
 
-  /** Structured Streaming tail of a uniform-schema log directory. */
+  /** Structured Streaming tail of a uniform-schema log directory. Besides
+    * the per-batch lineage in metrics.jsonl, Spark's own trigger progress
+    * (input/processing rates, trigger duration — the LAG side of the
+    * north star's "throughput/lag metrics") streams into
+    * stream_progress.jsonl via a self-detaching listener.
+    */
   def tail(spark: SparkSession, logDir: String, tableDir: String,
       checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
@@ -36,7 +41,7 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
       .parquet(logDir)
-    events.writeStream
+    val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -50,6 +55,28 @@ object CdcStream {
         ()
       }
       .start()
+    attachProgressSink(spark, q.id, tableDir)
+    q
+  }
+
+  /** Pipe this query's StreamingQueryProgress lines to the table's metrics
+    * dir; removes itself when the query terminates.
+    */
+  private def attachProgressSink(spark: SparkSession,
+      queryId: java.util.UUID, tableDir: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == queryId)
+          Metrics.appendStreamProgress(tableDir, e.progress.json)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == queryId) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(l)
   }
 
   /** Blocking convenience: tail until the log is drained. */
@@ -157,6 +184,18 @@ object Metrics {
     Files.writeString(dir.resolve("metrics.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+
+  /** One StreamingQueryProgress JSON line per trigger — rates + durations
+    * (the lag view; lineage lives in metrics.jsonl keyed by epoch).
+    */
+  def appendStreamProgress(tableDir: String, progressJson: String): Unit =
+    synchronized {
+      val dir = Paths.get(tableDir, "metrics")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("stream_progress.jsonl"),
+        progressJson.replaceAll("\\s*\\n\\s*", " ") + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
 
   /** Read back the per-batch lineage of a table (epoch order). */
   def read(tableDir: String): Seq[MergeStats] = {

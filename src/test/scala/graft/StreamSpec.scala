@@ -49,6 +49,18 @@ class StreamSpec extends AnyFunSuite {
     val tA = LakeTable.load(spark, dirA)
     assert(tA.currentVersion == 8) // v0 + 8 single-file batches
 
+    // the progress sink captured Spark's per-trigger throughput/lag view
+    // (listener bus is async — allow it a moment to drain)
+    val progress = Paths.get(dirA, "metrics", "stream_progress.jsonl")
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while ((!Files.exists(progress) ||
+        Files.readAllLines(progress).size() < 8) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    val lines = Files.readAllLines(progress)
+    assert(lines.size() >= 8)
+    assert(lines.get(0).contains("\"numInputRows\"")
+      && lines.get(0).contains("\"triggerExecution\""))
+
     // --- interrupted run: first 3 chunks, "crash", then the rest ---
     val logB = TestSpark.tempDir("logB")
     chunks.take(3).foreach(c => copyChunk(c, logB))
