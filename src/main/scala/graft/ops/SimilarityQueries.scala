@@ -95,8 +95,11 @@ object SimilarityQueries {
   /** Banded minhash signature → (doc_id, band) rows — the shared subplan
     * of d3 (candidate generation) and d5 (Jaccard verify).
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val based = docShingles(s, dir).select(col("doc_id"),
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsFrom(docShingles(s, dir))
+
+  private def minhashBandsFrom(shingles: DataFrame): DataFrame = {
+    val based = shingles.select(col("doc_id"),
       transform(col("sh"), sh => h32(sh)).as("bh"))
     val sig = based.select(col("doc_id") +: (0 until numHashes).map { i =>
       array_min(transform(col("bh"), b => mh(b, i))).as(s"mh_$i")
@@ -116,8 +119,11 @@ object SimilarityQueries {
     * long-lived session (Bench runs 60 queries per session) do not
     * accrete storage.
     */
-  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir).persist()
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairsFrom(minhashBands(s, dir))
+
+  private def lshCandidatePairsFrom(bandsPlan: DataFrame): DataFrame = {
+    val bands = bandsPlan.persist()
     try {
       bands.as("a").join(bands.as("b"), col("a.band") === col("b.band")
           && col("a.doc_id") < col("b.doc_id"))
@@ -260,24 +266,31 @@ object SimilarityQueries {
     QueryDef(
       "d5_ngram_jaccard",
       (s, dir) => {
-        val cand = lshCandidatePairs(s, dir)
-        val candIds = cand
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .distinct()
-        // checkpoint the candidate docs' shingle sets (an O(near-dups)
-        // row set): BOTH pair joins read it, and without pinning each
-        // would re-run the full tokenize+shingle scan
-        val docs = docShingles(s, dir).join(candIds, "doc_id")
-          .localCheckpoint(true)
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-          .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("n_common") /
-              (size(col("sha")) + size(col("shb")) - col("n_common")).cast("double"), 4)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
+        // tokenize+shingle ONCE: banding and the Jaccard verify both read
+        // the cached shingle sets (uncached, each would re-run the full
+        // scan+shingle pass — the dominant cost of this pipeline)
+        val sh = docShingles(s, dir).persist()
+        try {
+          val cand = lshCandidatePairsFrom(minhashBandsFrom(sh))
+          val candIds = cand
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+            .distinct()
+          // checkpoint the candidate docs' shingle sets (an O(near-dups)
+          // row set): BOTH pair joins read it
+          val docs = sh.join(candIds, "doc_id").localCheckpoint(true)
+          cand
+            .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+            .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+            .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+            .select(col("doc_a"), col("doc_b"),
+              round(col("n_common") /
+                (size(col("sha")) + size(col("shb")) - col("n_common")).cast("double"), 4)
+                .as("jaccard"))
+            .filter(col("jaccard") >= 0.5)
+            // pin the (tiny) verified pair set so unpersisting the
+            // shingle cache below cannot force a recompute at action time
+            .localCheckpoint(true)
+        } finally sh.unpersist()
       },
       Some(s"""$bandsSqlCtes,
               |docs AS (SELECT doc_id, sh FROM shn WHERE len(sh) > 0)
