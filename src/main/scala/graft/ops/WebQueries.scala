@@ -69,6 +69,47 @@ object WebQueries {
              |       'HTTPS://WWW.EXAMPLE-' || (c_custkey % 50) || '.COM/Products/' || c_custkey || '/' AS kept_url
              |FROM customer""".stripMargin)),
 
+    // T7: deterministic hash sampling — the web-pipeline way to sample
+    // (keep rows whose key-hash lands under the rate): reproducible
+    // across runs/engines, no RNG state, pushes down as a plain filter
+    // and composes with incremental processing (a re-crawled url keeps
+    // its sample fate). 10% by doc fingerprint.
+    QueryDef(
+      "t7_hash_sample",
+      (s, dir) => tbl(s, dir, "documents")
+        .filter(pmod(graft.functions.Md5Prefix32.md5_prefix32(
+          col("doc_id").cast("string")), lit(100)) < 10)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE CAST(((md5_number_upper(CAST(doc_id AS VARCHAR)) & 255) << 24)
+             |   | (((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) & 255) << 16)
+             |   | (((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 16) & 255) << 8)
+             |   | ((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 24) & 255) AS BIGINT)
+             |   % 100 < 10""".stripMargin)),
+
+    // T8: stratified deterministic sampling — per-language rates (e.g.
+    // downsample the dominant language, keep the tail whole), same
+    // hash-fate mechanism, still a single codegen'd filter
+    QueryDef(
+      "t8_stratified_sample",
+      (s, dir) => {
+        val rate = when(col("lang") === "en", 10)
+          .when(col("lang") === "de", 50)
+          .otherwise(100)
+        tbl(s, dir, "documents")
+          .filter(pmod(graft.functions.Md5Prefix32.md5_prefix32(
+            col("doc_id").cast("string")), lit(100)) < rate)
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT lang, count(*) AS n_kept FROM documents
+             |WHERE CAST(((md5_number_upper(CAST(doc_id AS VARCHAR)) & 255) << 24)
+             |   | (((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) & 255) << 16)
+             |   | (((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 16) & 255) << 8)
+             |   | ((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 24) & 255) AS BIGINT)
+             |   % 100 < (CASE WHEN lang = 'en' THEN 10
+             |                 WHEN lang = 'de' THEN 50 ELSE 100 END)
+             |GROUP BY lang""".stripMargin)),
+
     // T6: PII redaction for training-data export — emails and phone
     // numbers replaced by placeholder tokens; global regexp_replace, pure
     // codegen. The oracle asserts the EXPECTED redacted text directly.
