@@ -113,7 +113,8 @@ object Merge {
       batchBytesHint: Option[Long] = None,
       preparedKeys: Option[DataFrame] = None,
       preparedWinners: Option[DataFrame] = None,
-      quarantineDir: Option[String] = None): MergeStats = {
+      quarantineDir: Option[String] = None,
+      partitionLineage: Boolean = false): MergeStats = {
     def unprepare(): Unit = {
       preparedKeys.foreach(_.unpersist())
       preparedWinners.foreach(_.unpersist())
@@ -285,6 +286,28 @@ object Merge {
     val conflicts = eventsIn - st.getAs[Long]("nKeys")
     val deletes = st.getAs[Long]("nDeleteEvents")
 
+    // per-PARTITION lineage (north star: source LSN range, rows applied,
+    // conflict count per partition): one extra agg over the CACHED key
+    // plan, run async behind the manifest publish and joined before the
+    // cache is released. Opt-in (graft.merge.partitionLineage) because
+    // it is one more job per batch; the streaming tail enables it.
+    val partLineage: Option[Future[Unit]] =
+      if (!(partitionLineage || spark.conf
+          .getOption("graft.merge.partitionLineage").exists(_.toBoolean)))
+        None
+      else Some(Future {
+        val rows = perKeyPlan
+          .groupBy(bucketOf(col("url"), nb).as("bucket"))
+          .agg(sum("cnt").as("events"), count(lit(1)).as("keys"),
+            min("lsnMin").as("lsn_min"), max("lsnMax").as("lsn_max"))
+          .collect()
+        Metrics.appendPartitionLineage(table.dir, epoch, rows.map { r =>
+          Metrics.PartitionLineage(r.getAs[Int]("bucket"),
+            r.getAs[Long]("events"), r.getAs[Long]("keys"),
+            r.getAs[Long]("lsn_min"), r.getAs[Long]("lsn_max"))
+        }.toSeq)
+      })
+
     // 6b. publish manifest (phase 2, atomic)
     val prevLast = snap.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
     val maxTsMs = Option(st.getAs[java.lang.Long]("maxTsMs"))
@@ -306,6 +329,7 @@ object Merge {
     // metadata IO is O(touched), not O(live files) (manifest-list split)
     table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
       written, summary)
+    partLineage.foreach(Await.result(_, Duration.Inf))
     perKeyPlan.unpersist() // no-op unless persisted (prune path / prepared)
     preparedWinners.foreach(_.unpersist())
     tp = dbg(epoch, "commit", tp)

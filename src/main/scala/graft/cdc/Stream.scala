@@ -50,7 +50,9 @@ object CdcStream {
         val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
         val stats = Merge.applyBatch(batch.sparkSession, table, batch,
           epoch = batchId, batchSchemaVersion = schemaVersion,
-          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+          // production tail emits the north star's per-partition lineage
+          partitionLineage = true)
         Metrics.append(tableDir, stats)
         ()
       }
@@ -183,6 +185,44 @@ object Metrics {
         s""""events_per_sec":${"%.1f".format(evps)}}""" + "\n"
     Files.writeString(dir.resolve("metrics.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  final case class PartitionLineage(bucket: Int, events: Long, keys: Long,
+      lsnMin: Long, lsnMax: Long) {
+    def conflicts: Long = events - keys
+  }
+
+  /** One JSON line per (epoch, touched bucket): the north star's
+    * per-partition lineage — source LSN range, rows applied, conflict
+    * count at key-bucket granularity.
+    */
+  def appendPartitionLineage(tableDir: String, epoch: Long,
+      rows: Seq[PartitionLineage]): Unit = synchronized {
+    val dir = Paths.get(tableDir, "metrics")
+    Files.createDirectories(dir)
+    val sb = new StringBuilder
+    rows.sortBy(_.bucket).foreach { r =>
+      sb.append(s"""{"epoch":$epoch,"bucket":${r.bucket},""" +
+        s""""events":${r.events},"keys":${r.keys},""" +
+        s""""conflicts":${r.conflicts},""" +
+        s""""lsn_min":${r.lsnMin},"lsn_max":${r.lsnMax}}""").append('\n')
+    }
+    Files.writeString(dir.resolve("partition_lineage.jsonl"), sb.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Read back per-partition lineage lines (epoch, then bucket order). */
+  def readPartitionLineage(tableDir: String): Seq[(Long, PartitionLineage)] = {
+    val f = Paths.get(tableDir, "metrics", "partition_lineage.jsonl")
+    if (!Files.exists(f)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val n = mapper.readTree(l)
+      (n.get("epoch").asLong(),
+        PartitionLineage(n.get("bucket").asInt(), n.get("events").asLong(),
+          n.get("keys").asLong(), n.get("lsn_min").asLong(),
+          n.get("lsn_max").asLong()))
+    }.sortBy { case (e, p) => (e, p.bucket) }
   }
 
   /** One StreamingQueryProgress JSON line per trigger — rates + durations

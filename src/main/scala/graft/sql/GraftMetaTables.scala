@@ -18,7 +18,8 @@ import scala.jdk.CollectionConverters._
   */
 object GraftMetaTables {
 
-  val kinds: Set[String] = Set("history", "files", "manifests", "metrics")
+  val kinds: Set[String] =
+    Set("history", "files", "manifests", "metrics", "partitions")
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -59,11 +60,21 @@ object GraftMetaTables {
     StructField("touched_buckets", IntegerType, nullable = false),
     StructField("wall_ms", LongType, nullable = false)))
 
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("epoch", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("events", LongType, nullable = false),
+    StructField("keys", LongType, nullable = false),
+    StructField("conflicts", LongType, nullable = false),
+    StructField("lsn_min", LongType, nullable = false),
+    StructField("lsn_max", LongType, nullable = false)))
+
   def schemaFor(kind: String): StructType = kind match {
-    case "history"   => historySchema
-    case "files"     => filesSchema
-    case "manifests" => manifestsSchema
-    case "metrics"   => metricsSchema
+    case "history"    => historySchema
+    case "files"      => filesSchema
+    case "manifests"  => manifestsSchema
+    case "metrics"    => metricsSchema
+    case "partitions" => partitionsSchema
   }
 
   def df(spark: SparkSession, dir: String, kind: String,
@@ -87,6 +98,10 @@ object GraftMetaTables {
         Metrics.read(dir).map(s => Row(s.epoch, s.applied, s.eventsIn,
           s.rowsApplied, s.conflicts, s.deletes, s.lsnMin, s.lsnMax,
           s.touchedBuckets, s.wallMs))
+      case "partitions" =>
+        Metrics.readPartitionLineage(dir).map { case (e, p) =>
+          Row(e, p.bucket, p.events, p.keys, p.conflicts, p.lsnMin, p.lsnMax)
+        }
     }
     spark.createDataFrame(rows.asJava, schemaFor(kind))
   }

@@ -93,6 +93,7 @@ class GraftSqlSpec extends AnyFunSuite {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlmeta")
       graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      s.conf.set("graft.merge.partitionLineage", "true")
       val src = """SELECT * FROM VALUES
         |  (1L, 'U', 'http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
         |  (2L, 'U', 'http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'en', 6L)
@@ -133,6 +134,12 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(m.length == 2)
       assert(m(0).getLong(0) == 0L && m(0).getLong(1) == 2L)
       assert(m(1).getLong(0) == 7L && m(1).getLong(1) == 10L && m(1).getInt(2) == 3)
+
+      // $partitions: per-bucket lineage of the SQL merge (conf-enabled)
+      val pl = s.sql(s"SELECT sum(events), sum(conflicts) FROM graft.`$dir$$partitions` WHERE epoch = 0")
+        .head()
+      assert(pl.getLong(0) == 2L && pl.getLong(1) == 0L)
+      s.conf.unset("graft.merge.partitionLineage")
 
       // VERSION AS OF pins $files to the snapshot (v0 = empty table)
       assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files` VERSION AS OF 0")

@@ -61,6 +61,19 @@ class StreamSpec extends AnyFunSuite {
     assert(lines.get(0).contains("\"numInputRows\"")
       && lines.get(0).contains("\"triggerExecution\""))
 
+    // per-partition lineage: every epoch's bucket rows sum back to the
+    // batch totals stamped in the snapshot summary
+    val pl = graft.cdc.Metrics.readPartitionLineage(dirA)
+    assert(pl.map(_._1).distinct.sorted == (0L to 7L))
+    (1 to 8).foreach { v =>
+      val s = tA.snapshot(v)
+      val rows = pl.filter(_._1 == s.epoch.get).map(_._2)
+      assert(rows.map(_.events).sum == s.summary("events-in").toLong)
+      assert(rows.map(_.conflicts).sum == s.summary("conflict-count").toLong)
+      assert(rows.map(_.lsnMax).max == s.summary("source-lsn-max").toLong)
+      assert(rows.size == s.summary("touched-buckets").toInt)
+    }
+
     // --- interrupted run: first 3 chunks, "crash", then the rest ---
     val logB = TestSpark.tempDir("logB")
     chunks.take(3).foreach(c => copyChunk(c, logB))
