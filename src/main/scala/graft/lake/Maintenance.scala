@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Lake-table maintenance: small-file compaction, snapshot expiry, orphan
-  * GC. A copy-on-write CDC sink accretes one file per touched bucket per
-  * batch plus orphans from crashes between the two commit phases
-  * (SURVEY.md §7.4 #5) — these are the background jobs that keep a
-  * 100 TB table healthy. All of them preserve the commit protocol:
-  * content rewrites publish a new snapshot; GC only ever deletes files no
-  * remaining manifest references.
+/** Lake-table maintenance: compaction, snapshot expiry, orphan GC. Note
+  * the merge is copy-on-write at BUCKET granularity — a touched bucket's
+  * files are replaced wholesale each commit, so per-bucket file count is
+  * invariantly ≤ 1 (MaintenanceSpec pins this) and there is NO small-file
+  * accretion to compact away; [[compact]]'s jobs are tombstone purge and
+  * whole-table rewrite after churn. What does accrete: expired snapshot
+  * manifests and orphans from crashes between the two commit phases
+  * (SURVEY.md §7.4 #5) — expiry + GC handle those. All ops preserve the
+  * commit protocol: content rewrites publish a new snapshot; GC only ever
+  * deletes files no remaining manifest references.
   */
 object Maintenance {
 

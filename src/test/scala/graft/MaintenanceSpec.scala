@@ -14,6 +14,32 @@ class MaintenanceSpec extends AnyFunSuite {
     Files.walk(Paths.get(dir, "data")).iterator().asScala
       .filter(p => Files.isRegularFile(p)).map(_.toString).toSeq
 
+  test("no small-file accretion: bucket CoW keeps at most one file per bucket") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("bmaint")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 256)
+    val cfg = ChangeGen.Config(nEvents = 3000, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg)
+    // 5 batches over the same key population repeatedly touch the same
+    // buckets — a format that APPENDED per-batch files would fragment
+    // those buckets 5-deep. This merge replaces a touched bucket's files
+    // wholesale (copy-on-write at bucket granularity), so the per-bucket
+    // file count is invariantly ≤ 1 and no incremental small-file
+    // compaction job is needed — fileCount is bounded by numBuckets
+    // forever. (Full [[Maintenance.compact]] remains for tombstone purge.)
+    (0 until 5).foreach { e =>
+      Merge.applyBatch(spark, t,
+        ev.filter(col("lsn") >= e * 600 && col("lsn") < (e + 1) * 600),
+        e.toLong, 3)
+      val byBucket = t.currentSnapshot.files.groupBy(_.bucket)
+      assert(byBucket.values.forall(_.size == 1),
+        s"epoch $e fragmented a bucket: " +
+          byBucket.filter(_._2.size > 1).keys.toSeq.sorted.mkString(","))
+    }
+    assert(t.currentSnapshot.fileCount <= 256)
+  }
+
   test("compact + expire + gc: content identical, small files and orphans gone, gate intact") {
     val dir = TestSpark.tempDir("maint")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
