@@ -191,7 +191,9 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
     val epoch = session.conf.getOption("graft.merge.epoch").map(_.toLong)
       .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     val v = inferSchemaVersion(batch.schema, table.currentSnapshot.schemaId)
-    val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v)
+    val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v,
+      // session-conf knobs, same surface the CLI exposes as flags
+      quarantineDir = session.conf.getOption("graft.merge.quarantineDir"))
     // same lineage sink as the stream drivers — SQL merges show up in
     // the $metrics metadata table too
     if (s.applied) graft.cdc.Metrics.append(tableDir, s)

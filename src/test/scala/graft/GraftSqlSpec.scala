@@ -165,6 +165,32 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MERGE routes poison rows to the conf'd quarantine dir") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlq")
+      val qdir = TestSpark.tempDir("sqlqside") + "/dead"
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 2)
+      s.conf.set("graft.merge.quarantineDir", qdir)
+      try {
+        // u1's html does NOT re-extract to its text → poison; u2 (null
+        // html) is exempt from the invariant check
+        val src = """SELECT * FROM VALUES
+          |  (1L, 'U', 'http://u1', TIMESTAMP '2024-01-01 00:00:00',
+          |   CAST('<html><body><p>GARBAGE</p></body></html>' AS BINARY), 'clean text', 'en', 10L),
+          |  (2L, 'U', 'http://u2', TIMESTAMP '2024-01-01 00:00:00',
+          |   CAST(NULL AS BINARY), 'fine', 'en', 4L)
+          |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin
+        s.sql(mergeSql(dir, src)).collect()
+        assert(s.read.parquet(qdir).select("lsn").head().getLong(0) == 1L)
+        val rows = s.sql(s"SELECT url FROM graft.`$dir` ORDER BY url")
+          .collect().map(_.getString(0))
+        assert(rows.toSeq == Seq("http://u2"))
+        assert(graft.lake.LakeTable.load(s, dir)
+          .currentSnapshot.summary("quarantine-count") == "1")
+      } finally s.conf.unset("graft.merge.quarantineDir")
+    }
+  }
+
   test("non-canonical MERGE shapes are rejected with guidance") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlbad")
