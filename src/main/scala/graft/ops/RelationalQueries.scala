@@ -411,6 +411,41 @@ object RelationalQueries {
              |       CAST(row_number() OVER (ORDER BY ts, event_id) AS INTEGER) AS source_row_n
              |FROM events""".stripMargin)),
 
+    // W6: gap-based sessionization — the canonical event-stream op a
+    // web-analytics pipeline needs at scale. Both windows partition by
+    // user_id (shuffle once on the key, sort within partition; no global
+    // window), so the plan scales with users. 30-min inactivity gap.
+    QueryDef(
+      "w6_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ms = unix_millis(col("ts").cast("timestamp"))
+        val gap = ms - lag(ms, 1).over(w)
+        tbl(s, dir, "events")
+          .withColumn("brk", when(gap > 30L * 60000L, 1L).otherwise(0L))
+          .withColumn("session_n", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_n")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            round(sum("value"), 2).as("session_value"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              > 30 * 60000 THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |x AS (
+             |  SELECT user_id, ts, value,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS session_n
+             |  FROM g)
+             |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+             |       count(*) AS n_events, min(ts) AS session_start,
+             |       round(sum(value), 2) AS session_value
+             |FROM x GROUP BY user_id, session_n""".stripMargin)),
+
     // ----- sort / top-k (SURVEY §2.7) -----
 
     QueryDef(

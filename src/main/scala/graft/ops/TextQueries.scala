@@ -57,6 +57,23 @@ object TextQueries {
               |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
               |FROM documents""".stripMargin)),
 
+    // corpus vocabulary top-k: explode tokens → hash-agg count → top 20
+    // (vocab building for tokenizer training; partial-agg'd one shuffle,
+    // then TakeOrderedAndProject — no global sort materializes)
+    QueryDef(
+      "t9_vocab_topk",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, count(*) AS freq
+             |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |      FROM documents)
+             |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin)),
+
     // document fingerprinting: md5 over whitespace-normalized lowercase text
     QueryDef(
       "t3_fingerprint",
