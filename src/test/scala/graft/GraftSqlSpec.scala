@@ -165,6 +165,34 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MERGE drives registry schema evolution: v1 table, v3 source") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlevo")
+      graft.lake.LakeTable.create(s, dir, schemaId = 1, numBuckets = 2)
+      // v1-shaped source (no lang/content_len)
+      s.sql(mergeSql(dir,
+        """SELECT 1L AS lsn, 'U' AS op, 'http://old' AS url,
+          |TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+          |CAST(NULL AS BINARY) AS html, 'old text' AS text""".stripMargin))
+        .collect()
+      assert(graft.lake.LakeTable.load(s, dir).currentSnapshot.schemaId == 1)
+      // v3-shaped source: lang added, content_len BIGINT → the registry
+      // infers version 3 and the snapshot schema advances; the v1 file
+      // stays put and null-backfills at read
+      s.sql(mergeSql(dir,
+        """SELECT 2L AS lsn, 'U' AS op, 'http://new' AS url,
+          |TIMESTAMP '2024-01-02 00:00:00' AS warc_ts,
+          |CAST(NULL AS BINARY) AS html, 'new text' AS text,
+          |'en' AS lang, 8L AS content_len""".stripMargin)).collect()
+      val t = graft.lake.LakeTable.load(s, dir)
+      assert(t.currentSnapshot.schemaId == 3)
+      val rows = s.sql(s"SELECT url, lang, content_len FROM graft.`$dir` ORDER BY url")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.toSeq == Seq(("http://new", "en", 8L), ("http://old", null, -1L)))
+    }
+  }
+
   test("SQL MERGE routes poison rows to the conf'd quarantine dir") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlq")
