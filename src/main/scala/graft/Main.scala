@@ -49,7 +49,8 @@ object Main {
       case "tail" =>
         CdcStream.tailAll(spark, opts("log"), table, opts("checkpoint"),
           schemaVersion,
-          opts.get("max-files-per-trigger").map(_.toInt).getOrElse(1))
+          opts.get("max-files-per-trigger").map(_.toInt).getOrElse(1),
+          quarantineDir = opts.get("quarantine"))
         report(spark, table)
       case "replay" =>
         val stats = CdcStream.replayChunks(spark, opts("log"), table,

@@ -33,7 +33,8 @@ object CdcStream {
     */
   def tail(spark: SparkSession, logDir: String, tableDir: String,
       checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      quarantineDir: Option[String] = None): StreamingQuery = {
     val table = LakeTable.load(spark, tableDir)
     val eventSchema = chunkSchema(schemaVersion)
     val events = spark.readStream
@@ -51,6 +52,7 @@ object CdcStream {
         val stats = Merge.applyBatch(batch.sparkSession, table, batch,
           epoch = batchId, batchSchemaVersion = schemaVersion,
           batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+          quarantineDir = quarantineDir,
           // production tail emits the north star's per-partition lineage
           partitionLineage = true)
         Metrics.append(tableDir, stats)
@@ -84,9 +86,10 @@ object CdcStream {
   /** Blocking convenience: tail until the log is drained. */
   def tailAll(spark: SparkSession, logDir: String, tableDir: String,
       checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      quarantineDir: Option[String] = None): Unit = {
     val q = tail(spark, logDir, tableDir, checkpointDir, schemaVersion,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, quarantineDir)
     q.awaitTermination()
   }
 
