@@ -116,7 +116,7 @@ object SimilarityQueries {
     * is cached only for the duration of the self-join: the (small,
     * O(near-dups)) pair set is materialized via localCheckpoint and the
     * cache is released before returning, so repeated invocations in a
-    * long-lived session (Bench runs 60 queries per session) do not
+    * long-lived session (Bench runs all 72 queries per session) do not
     * accrete storage.
     */
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
