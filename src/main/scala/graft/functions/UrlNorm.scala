@@ -17,18 +17,30 @@ import org.apache.spark.sql.functions._
 object UrlNorm {
 
   /** Canonical form: fragment dropped; scheme+authority lowercased (path
-    * stays case-sensitive per RFC 3986); default ports 80/443 dropped;
-    * utm_* tracking params dropped; dangling '?'/'&' and trailing
-    * slashes trimmed.
+    * stays case-sensitive per RFC 3986); the scheme's DEFAULT port
+    * dropped from the authority only (https:443, http:80 — a ':80/' in
+    * the PATH is a legal path character sequence and survives, as does a
+    * non-default https://host:8080 or http://host:443); utm_* tracking
+    * params dropped only at parameter boundaries ('?'/'&'-anchored, so
+    * '?autm_source=1' is a different page and survives); dangling
+    * '?'/'&' and trailing slashes trimmed.
     */
   def normalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
-    val lowered = concat(
-      lower(regexp_extract(noFrag, "^([^/]*//[^/?#]*)", 1)),
-      regexp_replace(noFrag, "^[^/]*//[^/?#]*", ""))
-    val noPort = regexp_replace(
-      regexp_replace(lowered, ":(443|80)/", "/"), ":(443|80)$", "")
-    val noTrack = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&?", "")
+    val auth = lower(regexp_extract(noFrag, "^([^/]*//[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[^/]*//[^/?#]*", "")
+    // port strip is authority-anchored AND scheme-aware
+    val authNoPort =
+      when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
+        .when(auth.startsWith("http://"), regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    val lowered = concat(authNoPort, rest)
+    // tracking params only at a real parameter boundary: first every
+    // '&utm_...' (cannot be the first param), then a leading '?utm_...'
+    // keeping the '?' for any params that follow it
+    val noTrack = regexp_replace(
+      regexp_replace(lowered, "&utm_[a-z]+=[^&#]*", ""),
+      "\\?utm_[a-z]+=[^&#]*&?", "?")
     regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "/+$", "")
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, BufferedOutputStream, FileOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, BufferedOutputStream}
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 /** S9: zip-archive ingestion (ref: project_setup/round3_setup/
@@ -42,11 +42,17 @@ object ZipArchive {
 
   /** Write one zip file with the given members. Entry mtimes are pinned
     * so the archive bytes are a pure function of the members
-    * (determinism requirement, SURVEY.md §7.5).
+    * (determinism requirement, SURVEY.md §7.5). Writes go through the
+    * Hadoop FileSystem API so an EXECUTOR staging an archive targets
+    * shared storage — file:// under local masters, the cluster's default
+    * FS (e.g. hdfs://) under spark-submit — never an executor-local disk
+    * the driver-side binaryFile scan could not see (round-2 review).
     */
   def writeZip(path: String, members: Iterator[(String, Array[Byte])]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val zout = new ZipOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path)))
+      new BufferedOutputStream(fs.create(p, true)))
     try {
       members.foreach { case (name, bytes) =>
         val e = new ZipEntry(name)

@@ -113,6 +113,14 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // layout is governed by the engine (hash(url) buckets via the
+    // `buckets` property) — silently discarding a user's PARTITIONED BY
+    // would be a lie, so reject it with the supported spelling
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported: graft tables are hash(url)-" +
+          "bucketed; set the bucket count with TBLPROPERTIES " +
+          "('buckets' = '<n>')")
     val dir = dirFor(ident)
     if (LakeTable.exists(dir))
       throw new TableAlreadyExistsException(ident.asMultipartIdentifier)
@@ -134,6 +142,10 @@ class GraftCatalog extends TableCatalog {
         "schema_version advances the snapshot schemaId during MERGE)")
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (metaSplit(ident).isDefined)
+      throw new UnsupportedOperationException(
+        s"cannot DROP metadata table ${ident.name()}: it is a view of its " +
+          "base table (drop the base table instead)")
     val dir = dirFor(ident)
     val existed = LakeTable.exists(dir)
     if (existed) graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(dir))

@@ -162,6 +162,19 @@ class GraftSqlSpec extends AnyFunSuite {
           |'en' AS lang, 5L AS content_len""".stripMargin)).collect().head
       assert(r.getAs[Long]("rows_applied") == 1)
       assert(s.sql("SELECT text FROM graft.pages").head().getString(0) == "hello")
+
+      // a user's PARTITIONED BY must be rejected, not silently discarded
+      val pe = intercept[Exception] {
+        s.sql("""CREATE TABLE graft.pages2 (
+          |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+          |  text STRING, lang STRING, content_len BIGINT)
+          |PARTITIONED BY (lang)""".stripMargin)
+      }
+      assert(pe.getMessage.contains("buckets"))
+      // DROP on a metadata view must be rejected, not no-op'd
+      val de = intercept[Exception] { s.sql("DROP TABLE graft.`pages$files`") }
+      assert(de.getMessage.contains("metadata table"))
+      assert(graft.lake.LakeTable.exists(s"$wh/pages")) // base intact
     }
   }
 

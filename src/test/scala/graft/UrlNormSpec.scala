@@ -33,4 +33,21 @@ class UrlNormSpec extends AnyFunSuite {
     val c = "https://www.example-1.com/Products/51?id=3"
     assert(norm(c) == c)
   }
+
+  test("key-collision edge cases (round-2 review findings)") {
+    // ':80/' in the PATH is a legal path char sequence — must survive
+    assert(norm("https://a.com/files/report:80/summary")
+      == "https://a.com/files/report:80/summary")
+    // non-default port for the scheme is a DIFFERENT endpoint — survives
+    assert(norm("http://a.com:443/x") == "http://a.com:443/x")
+    assert(norm("https://a.com:80/x") == "https://a.com:80/x")
+    // 'utm_' mid-token is a different parameter, not tracking
+    assert(norm("https://a.com/x?autm_source=1") == "https://a.com/x?autm_source=1")
+    // utm at a real boundary goes, whatever its position
+    assert(norm("https://a.com/x?utm_a=1&id=7") == "https://a.com/x?id=7")
+    assert(norm("https://a.com/x?id=7&utm_a=1") == "https://a.com/x?id=7")
+    assert(norm("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
+    // params whose VALUE mentions utm_ survive
+    assert(norm("https://a.com/x?q=utm_source") == "https://a.com/x?q=utm_source")
+  }
 }
