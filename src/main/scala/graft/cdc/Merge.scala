@@ -114,7 +114,8 @@ object Merge {
       preparedKeys: Option[DataFrame] = None,
       preparedWinners: Option[DataFrame] = None,
       quarantineDir: Option[String] = None,
-      partitionLineage: Boolean = false): MergeStats = {
+      partitionLineage: Boolean = false,
+      gateKey: String = "last-epoch"): MergeStats = {
     def unprepare(): Unit = {
       preparedKeys.foreach(_.unpersist())
       preparedWinners.foreach(_.unpersist())
@@ -123,8 +124,11 @@ object Merge {
     var tp = t0
     val snap = table.currentSnapshot
 
-    // 1. exactly-once epoch gate
-    if (table.lastCommittedEpoch.exists(_ >= epoch)) {
+    // 1. exactly-once epoch gate — namespaced by driver (gateKey), read
+    //    from the snapshot already in hand (no second meta listing):
+    //    independent drivers (stream tail vs SQL/CLI batch) keep
+    //    independent high-waters so one cannot swallow the other's epochs
+    if (table.lastCommittedEpoch(snap, gateKey).exists(_ >= epoch)) {
       unprepare()
       return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
         (System.nanoTime() - t0) / 1000000)
@@ -201,10 +205,7 @@ object Merge {
 
     // 4. align current rows (old snapshot schema) to the evolved target:
     //    added columns null-backfill, narrow types widen
-    val current = currentRaw.select(target.fields.map { f =>
-      if (currentRaw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    val current = LakeTable.align(currentRaw, target)
 
     // 5. join-back: fetch only the winning events\u2019 payloads. LSN is
     //    globally unique, so a semi-join on the winners\u2019 LSN set selects
@@ -224,9 +225,15 @@ object Merge {
     // a side table instead of killing the job or corrupting the invariant.
     // The key keeps its previous state. Checked at the winners stage where
     // full columns are already decoded; deletes (null html) are exempt.
+    // null-SAFE inequality: with a plain =!= a non-null html + NULL text
+    // made BOTH filter(bad) and filter(!bad) NULL-drop the row — the
+    // event vanished from quarantine AND the merge (round-2 review).
+    // <=> is total, so every row lands on exactly one side; an html that
+    // extracts to something while text is NULL is itself inconsistent →
+    // quarantined.
     val poison = quarantineDir.map { _ =>
       col("html").isNotNull &&
-        graft.core.TextHtml.extractText(col("html")) =!= col("text")
+        !(graft.core.TextHtml.extractText(col("html")) <=> col("text"))
     }
     val quarantined: Long = (poison, quarantineDir) match {
       case (Some(bad), Some(qd)) =>
@@ -283,6 +290,17 @@ object Merge {
     // join the (possibly async) lineage stats before publishing
     val st = Await.result(stats, Duration.Inf)
     val eventsIn = Option(st.getAs[Long]("n")).getOrElse(0L)
+    // empty batch on the FULL-REWRITE path (the prune path already
+    // returned): the stats came back async after the write, so abandon
+    // the commit dir (gc collects it) instead of publishing a spurious
+    // whole-table rewrite with null-unboxed lsn stats (round-2 review)
+    if (eventsIn == 0) {
+      graft.core.Fs.deleteRecursively(Paths.get(commitDir))
+      perKeyPlan.unpersist()
+      unprepare()
+      return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
+        (System.nanoTime() - t0) / 1000000)
+    }
     val conflicts = eventsIn - st.getAs[Long]("nKeys")
     val deletes = st.getAs[Long]("nDeleteEvents")
 
@@ -308,14 +326,18 @@ object Merge {
         }.toSeq)
       })
 
-    // 6b. publish manifest (phase 2, atomic)
+    // 6b. publish manifest (phase 2, atomic). Lineage keys carry forward
+    //     from the previous summary; this commit's gate namespace (and
+    //     the global last-epoch allocator) advance to the new epoch.
     val prevLast = snap.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
+    val prevGate = snap.summary.get(gateKey).map(_.toLong).getOrElse(-1L)
     val maxTsMs = Option(st.getAs[java.lang.Long]("maxTsMs"))
       .map(_.toLong).getOrElse(Long.MinValue)
     val watermarkMs = math.max(prevWatermarkMs.getOrElse(Long.MinValue), maxTsMs)
-    val summary = Map(
+    val summary = LakeTable.inheritLineage(snap.summary) ++ Map(
       "batch-epoch" -> epoch.toString,
       "last-epoch" -> math.max(prevLast, epoch).toString,
+      gateKey -> math.max(prevGate, epoch).toString,
       "watermark-ms" -> watermarkMs.toString,
       "late-keys" -> st.getAs[Long]("lateKeys").toString,
       "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,

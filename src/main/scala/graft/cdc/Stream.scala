@@ -25,6 +25,13 @@ import scala.jdk.CollectionConverters._
   */
 object CdcStream {
 
+  /** Gate namespace for log-ordered epochs (streaming batchIds / replay
+    * chunk indexes — both number the SAME log identically), kept separate
+    * from batch callers' `last-epoch` so the two sequences cannot swallow
+    * each other's epochs.
+    */
+  val StreamGateKey = "stream-epoch"
+
   /** Structured Streaming tail of a uniform-schema log directory. Besides
     * the per-batch lineage in metrics.jsonl, Spark's own trigger progress
     * (input/processing rates, trigger duration — the LAG side of the
@@ -54,8 +61,11 @@ object CdcStream {
           batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
           quarantineDir = quarantineDir,
           // production tail emits the north star's per-partition lineage
-          partitionLineage = true)
-        Metrics.append(tableDir, stats)
+          partitionLineage = true,
+          // stream epochs (batchIds) gate in their own namespace so an
+          // interleaved SQL/CLI merge cannot swallow a stream batch
+          gateKey = StreamGateKey)
+        if (stats.applied) Metrics.append(tableDir, stats)
         ()
       }
       .start()
@@ -147,8 +157,9 @@ object CdcStream {
       }
       val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
-        preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2))
-      Metrics.append(tableDir, stats)
+        preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2),
+        gateKey = StreamGateKey)
+      if (stats.applied) Metrics.append(tableDir, stats)
       stats
     }
   }

@@ -277,9 +277,8 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     */
   def updateProperties(props: Map[String, String]): Snapshot = {
     val s = currentSnapshot
-    val inherited = s.summary.get("last-epoch")
-      .map(v => Map("last-epoch" -> v)).getOrElse(Map.empty)
-    commit(s.copy(version = s.version + 1, summary = inherited ++ props))
+    commit(s.copy(version = s.version + 1,
+      summary = LakeTable.inheritLineage(s.summary) ++ props))
   }
 
   /** Highest batch epoch already committed — the exactly-once gate.
@@ -287,19 +286,41 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     * `last-epoch` watermark forward, so one manifest read answers this in
     * O(1) and the watermark survives snapshot expiry. Falls back to a
     * full-chain scan for manifests written before the key existed.
+    *
+    * Epoch NAMESPACES: independent drivers get independent gates — the
+    * streaming tail / log replay gate on `stream-epoch` while batch
+    * callers (SQL MERGE, CLI) gate on `last-epoch` — because one shared
+    * high-water over two unrelated epoch sequences lets a SQL MERGE on a
+    * tailed table advance the gate past the stream's next batchId and
+    * silently swallow it (round-2 review). `last-epoch` additionally
+    * advances on EVERY commit (it allocates unique epochs for lineage).
     */
-  def lastCommittedEpoch: Option[Long] = {
-    val cur = currentSnapshot
-    cur.summary.get("last-epoch").map(_.toLong)
-      .orElse(existingVersions.flatMap(i => snapshot(i).epoch)
-        .reduceOption(_ max _))
-  }
+  def lastCommittedEpoch: Option[Long] = lastCommittedEpoch(currentSnapshot)
+
+  def lastCommittedEpoch(s: Snapshot, key: String = "last-epoch"): Option[Long] =
+    s.summary.get(key).map(_.toLong)
+      .orElse(if (key != "last-epoch") None
+        else existingVersions.flatMap(i => snapshot(i).epoch)
+          .reduceOption(_ max _))
 }
 
 object LakeTable {
 
   private val mapper = new ObjectMapper()
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** Summary keys every commit must carry forward for gates/lineage to
+    * survive metadata-only commits, compaction, and snapshot expiry:
+    * the per-namespace exactly-once high-waters and the event-time
+    * watermark (dropping `watermark-ms` silently reset T6 late-data
+    * lineage after every compaction — round-2 review).
+    */
+  val lineageKeys: Seq[String] =
+    Seq("last-epoch", "stream-epoch", "watermark-ms")
+
+  /** The subset of `summary` that must survive into the next commit. */
+  def inheritLineage(summary: Map[String, String]): Map[String, String] =
+    summary.view.filterKeys(lineageKeys.contains).toMap
 
   /** Bucket-group width of one manifest file. 64 keeps the manifest list
     * at numBuckets/64 refs (1.5k at 10^5 buckets) and each manifest at
@@ -376,7 +397,7 @@ object LakeTable {
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "meta"))
 
   /** Cast / null-backfill `df` to `target` column-by-column. */
-  private[lake] def align(df: DataFrame, target: StructType): DataFrame =
+  private[graft] def align(df: DataFrame, target: StructType): DataFrame =
     df.select(target.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -39,11 +39,9 @@ object Maintenance {
     df.repartition(math.max(1, snap.numBuckets), col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
-    val inherited = snap.summary.get("last-epoch")
-      .map(v => Map("last-epoch" -> v)).getOrElse(Map.empty)
     table.commitDelta(snap, snap.version + 1, snap.schemaId,
       (0 until snap.numBuckets).toSet, written,
-      inherited ++ Map("compaction" -> "true",
+      LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
         "compacted-from" -> snap.fileCount.toString))
   }
 
@@ -52,6 +50,9 @@ object Maintenance {
     * snapshots carry the maximum committed epoch.
     */
   def expireSnapshots(table: LakeTable, keepLast: Int): Int = {
+    // keepLast <= 0 would expire the CURRENT snapshot too — the table
+    // would become unreadable and the next gc would delete all data
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val current = table.currentVersion
     val cutoff = current - keepLast + 1
     val metaDir = Paths.get(table.dir, "meta")

@@ -168,8 +168,11 @@ class GraftCatalog extends TableCatalog {
   * scan) before any capability check runs, and writes go through MERGE.
   */
 final case class GraftTable(dir: String, pinVersion: Option[Int] = None) extends Table {
-  def lake: LakeTable = LakeTable.load(SparkSession.active, dir)
-  def pinnedSnapshot: graft.lake.Snapshot =
+  lazy val lake: LakeTable = LakeTable.load(SparkSession.active, dir)
+  // resolved ONCE per handle: analysis calls schema()/properties()
+  // repeatedly, and a per-call re-read could even observe two different
+  // snapshots inside one query if a merge commits concurrently
+  lazy val pinnedSnapshot: graft.lake.Snapshot =
     pinVersion.map(lake.snapshot).getOrElse(lake.currentSnapshot)
   override def name(): String =
     dir + pinVersion.map(v => s"@v$v").getOrElse("")

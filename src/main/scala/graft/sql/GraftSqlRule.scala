@@ -129,14 +129,22 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         u.fromStar || identityAssignments(u.assignments)
       case _ => false
     }
-    val badMatched = m.matchedActions.filterNot {
-      case a if isUpdateAll(a) => true
-      case DeleteAction(Some(c)) if isOpEqD(c) => true
-      case _ => false
+    // the engine tombstones every winning op='D' event, so the statement
+    // MUST spell that out — and in first-match order (DELETE before
+    // UPDATE), or standard MERGE semantics would shadow the delete and
+    // the lowering would diverge from what the SQL says (round-2 review:
+    // accepting an update-only merge silently deleted op='D' rows)
+    m.matchedActions match {
+      case Seq(DeleteAction(Some(c)), u) if isOpEqD(c) && isUpdateAll(u) => ()
+      case Seq(u, DeleteAction(Some(c))) if isOpEqD(c) && isUpdateAll(u) =>
+        fail("WHEN MATCHED THEN UPDATE SET * is listed before the DELETE " +
+          "clause — first-match semantics would shadow the delete; list " +
+          "WHEN MATCHED AND s.op = 'D' THEN DELETE first")
+      case other =>
+        fail(s"WHEN MATCHED clauses must be exactly [AND s.op = 'D' THEN " +
+          s"DELETE; THEN UPDATE SET *] — got: $other. The engine " +
+          "tombstones op='D' events, so the statement must declare it")
     }
-    if (badMatched.nonEmpty) fail(s"unsupported WHEN MATCHED action: $badMatched")
-    if (!m.matchedActions.exists(isUpdateAll))
-      fail("missing WHEN MATCHED THEN UPDATE SET *")
     m.notMatchedActions match {
       case Seq(InsertStarAction(None)) => ()
       case Seq(i: InsertAction)

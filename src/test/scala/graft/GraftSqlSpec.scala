@@ -246,6 +246,20 @@ class GraftSqlSpec extends AnyFunSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
       }
       assert(e.getMessage.contains("canonical CDC form"))
+
+      // update-only MERGE (no DELETE clause) must be rejected too: the
+      // engine tombstones op='D' events, so accepting it would delete
+      // rows the statement says to update (round-2 review)
+      val e2 = intercept[Exception] {
+        s.sql(s"""MERGE INTO graft.`$dir` t
+          |USING (SELECT 1L lsn, 'U' op, 'u' url,
+          |  TIMESTAMP '2024-01-01 00:00:00' warc_ts,
+          |  CAST(NULL AS BINARY) html, 't' text, 'en' lang, 1L content_len) s
+          |ON t.url = s.url
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      }
+      assert(e2.getMessage.contains("DELETE"))
     }
   }
 }

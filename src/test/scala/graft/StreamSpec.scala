@@ -92,7 +92,11 @@ class StreamSpec extends AnyFunSuite {
     val hint = batch3.queryExecution.optimizedPlan.stats.sizeInBytes
     val direct = Merge.applyBatch(spark, tB, batch3, epoch = 3,
       batchSchemaVersion = 3,
-      batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+      batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+      // the sink-ahead write is IN the stream's epoch sequence, so it
+      // gates (and advances) the stream namespace — an unrelated batch
+      // caller would use the default last-epoch namespace instead
+      gateKey = CdcStream.StreamGateKey)
     assert(direct.applied)
 
     // …restart: the stream re-delivers epoch 3; the gate must skip it
@@ -102,6 +106,38 @@ class StreamSpec extends AnyFunSuite {
 
     // identical snapshot chains, byte-identical content at every version
     assert(fingerprint(tB) == fingerprint(tA))
+  }
+
+  test("epoch namespaces: a batch merge between stream batches cannot swallow them") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("nsTable")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def batch(lsn: Long, url: String) =
+      Seq((lsn, "U", url, ts, null: Array[Byte], s"t$lsn", "en", 2L))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    // stream applies batchIds 0 and 1 in its own namespace
+    assert(Merge.applyBatch(spark, t, batch(1, "http://s0"), 0, 3,
+      gateKey = CdcStream.StreamGateKey).applied)
+    assert(Merge.applyBatch(spark, t, batch(2, "http://s1"), 1, 3,
+      gateKey = CdcStream.StreamGateKey).applied)
+    // an interleaved batch (SQL/CLI) merge allocates last-epoch + 1 = 2
+    val sqlEpoch = t.lastCommittedEpoch.get + 1
+    assert(Merge.applyBatch(spark, t, batch(3, "http://b"), sqlEpoch, 3).applied)
+    // the stream's NEXT batchId is also 2 — it must still apply (a shared
+    // gate would silently swallow it: the round-2 review data-loss bug)
+    assert(Merge.applyBatch(spark, t, batch(4, "http://s2"), 2, 3,
+      gateKey = CdcStream.StreamGateKey).applied)
+    // while a true stream replay of batchId 1 still no-ops
+    assert(!Merge.applyBatch(spark, t, batch(2, "http://s1"), 1, 3,
+      gateKey = CdcStream.StreamGateKey).applied)
+    assert(t.readUser().count() == 4)
+    // both high-waters survive a compaction + metadata commit
+    graft.lake.Maintenance.compact(spark, t)
+    t.updateProperties(Map("note" -> "x"))
+    val sum = t.currentSnapshot.summary
+    assert(sum("stream-epoch") == "2" && sum("last-epoch").toLong >= sqlEpoch)
+    assert(sum.contains("watermark-ms"))
   }
 
   private def copyChunk(src: String, dstDir: String): Unit = {
