@@ -94,16 +94,27 @@ object Bench {
     // whichever query the Map iterates first (observed: 18s on a query
     // that steady-states at <1s). Same policy as the CDC warmup replay.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query must not masquerade as a fast one: report -1 (and
+    // say so on stderr) instead of its time-to-throw (round-2 review)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // --- CDC log (generated once, excluded from timing). High-churn
     // realism: ~160 change events per url (10^10 events over ~10^8 pages),
     // 4M-event micro-batches (amortizes the per-batch driver floor).
-    val logDir = java.nio.file.Files.createTempDirectory("bench-log").toString
+    // scratchDir: the explicit delete below covers the success path, the
+    // exit hook covers a child-run failure (sys.error) that would
+    // otherwise leak the multi-GB log and start the documented ENOSPC
+    // spiral (round-2 review)
+    val logDir = graft.core.Fs.scratchDir("bench-log")
     val cfg = ChangeGen.Config(nEvents = nEvents, nDomains = 500,
       pagesPerDomain = 200, v1Frac = 0.0, v2Frac = 0.0)
     // 4M-event micro-batches (the measured sweet spot: 2M batches lose
@@ -170,7 +181,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val cdc = s"""{"events":$nEvents,"efficiency_pair_events":$effEventsApplied,""" +
       s""""cores_n":$lo,"cores_4n":$mid,"cores_max":$cpus,""" +
       s""""events_per_sec_n":${"%.0f".format(epsLo)},""" +

@@ -56,9 +56,13 @@ object ChangeGen {
     val df = spark.range(lo, hi).toDF("id")
     val id = col("id")
 
-    // zipf-ish domain rank via log-uniform inverse CDF (rank 1 hottest)
-    val dom = floor(exp(u(h(cfg.seed, 1, id)) * log(lit(cfg.nDomains.toDouble))))
-      .cast("int") + 1
+    // zipf-ish domain rank via log-uniform inverse CDF (rank 1 hottest).
+    // exp(u·ln(N+1)) ∈ [1, N+1) so floor lands on [1, N] exactly — the
+    // earlier floor(exp(u·ln N)) + 1 shifted ranks to [2, N]: rank-1 (the
+    // documented hottest domain) never generated, only N-1 distinct
+    // domains (round-2 review)
+    val dom = floor(exp(u(h(cfg.seed, 1, id)) * log(lit(cfg.nDomains + 1.0))))
+      .cast("int")
     val page = floor(u(h(cfg.seed, 2, id)) * cfg.pagesPerDomain).cast("int")
     val url = concat(lit("https://d"), dom, lit(".example.com/p"), page)
 
@@ -130,13 +134,22 @@ object ChangeGen {
     val pieces = (0 until nChunks).flatMap { i =>
       val lo = i * chunkSize
       val hi = math.min(cfg.nEvents, (i + 1) * chunkSize)
-      val cuts = (Seq(lo, hi) ++ Seq(n1, n2).filter(b => b > lo && b < hi)).sorted
-      cuts.zip(cuts.tail).filter { case (a, b) => a < b }
+      // ceil-sized chunks can cover the log in < nChunks pieces; a
+      // trailing lo >= hi range must be SKIPPED — sorted-pair recovery
+      // used to resurrect it as a phantom empty chunk file (spurious
+      // epoch in replay/tail accounting)
+      if (lo >= hi) Nil
+      else {
+        val cuts = (Seq(lo, hi) ++ Seq(n1, n2).filter(b => b > lo && b < hi)).sorted
+        cuts.zip(cuts.tail).filter { case (a, b) => a < b }
+      }
     }
     pieces.zipWithIndex.map { case ((lo, hi), idx) =>
       val chunk = all.filter(col("lsn") >= lo && col("lsn") < hi)
       val v = versionAt(lo)
-      val tmp = Files.createTempDirectory("graft-chunk").toString
+      // scratchDir: the _SUCCESS/.crc litter left after the part-file
+      // move is cleaned at JVM exit (Fs.scratchDir's whole purpose)
+      val tmp = Fs.scratchDir("graft-chunk")
       projectToVersion(chunk, v).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Fs.list(Paths.get(tmp))
         .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -156,15 +169,18 @@ object ChangeGen {
       nChunks: Int): Seq[String] = {
     Files.createDirectories(Paths.get(logDir))
     val chunkSize = math.max(1L, math.ceil(cfg.nEvents.toDouble / nChunks).toLong)
-    (0 until nChunks).map { i =>
+    (0 until nChunks).flatMap { i =>
       val lo = i * chunkSize
       val hi = math.min(cfg.nEvents, (i + 1) * chunkSize)
-      val v = if (lo < (cfg.nEvents * cfg.v1Frac).toLong) 1
-        else if (lo < (cfg.nEvents * (cfg.v1Frac + cfg.v2Frac)).toLong) 2 else 3
-      val dst = Paths.get(logDir).resolve(f"chunk-$i%05d-v$v.parquet")
-      projectToVersion(eventsRange(spark, cfg, lo, hi), v)
-        .write.mode("overwrite").parquet(dst.toString)
-      dst.toString
+      if (lo >= hi) None // ceil coverage exhausted — no phantom chunks
+      else {
+        val v = if (lo < (cfg.nEvents * cfg.v1Frac).toLong) 1
+          else if (lo < (cfg.nEvents * (cfg.v1Frac + cfg.v2Frac)).toLong) 2 else 3
+        val dst = Paths.get(logDir).resolve(f"chunk-$i%05d-v$v.parquet")
+        projectToVersion(eventsRange(spark, cfg, lo, hi), v)
+          .write.mode("overwrite").parquet(dst.toString)
+        Some(dst.toString)
+      }
     }
   }
 }

@@ -41,6 +41,13 @@ object UrlNorm {
     val noTrack = regexp_replace(
       regexp_replace(lowered, "&utm_[a-z]+=[^&#]*", ""),
       "\\?utm_[a-z]+=[^&#]*&?", "?")
-    regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "/+$", "")
+    // trailing-slash trim must stay PATH-anchored: collapse slashes that
+    // sit directly before the query, then strip end-of-string slashes
+    // only when no query remains — '?next=/home/' is a VALUE whose slash
+    // distinguishes pages (round-2 review)
+    val cleaned = regexp_replace(
+      regexp_replace(noTrack, "/+\\?", "?"), "[?&]+$", "")
+    when(cleaned.contains("?"), cleaned)
+      .otherwise(regexp_replace(cleaned, "/+$", ""))
   }
 }

@@ -197,7 +197,13 @@ object ReaderQueries {
       "s9_zip_extract",
       (s, dir) => {
         import s.implicits._
+        import scala.jdk.CollectionConverters._
         val zipDir = graft.core.Fs.scratchDir("zips")
+        // ship the session's Hadoop conf to the writing tasks so archive
+        // staging honors spark.hadoop.* (defaultFS, credentials) — the
+        // serialized kv form avoids any non-public conf wrapper
+        val hconf = s.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toSeq
         tbl(s, dir, "supplier")
           .select(col("s_suppkey").cast("long").as("k"), col("s_name"),
             col("s_nationkey").cast("long").as("nk"))
@@ -210,7 +216,7 @@ object ReaderQueries {
               }
               graft.sources.ZipArchive.writeZip(
                 s"$zipDir/part-${java.util.UUID.randomUUID().toString.take(8)}.zip",
-                members)
+                members, hconf)
             }
           }
         s.read.format("binaryFile").load(zipDir)

@@ -89,9 +89,14 @@ object RefPipeline {
       .withColumn("ALT_EPI_SEQ", cleanEpitope(col("ALT_EPI_SEQ")))
 
     // stable source-row lineage id (ref :144,153): per submission, ordered
-    // by a total deterministic key — never monotonically_increasing_id
+    // by a total deterministic key — never monotonically_increasing_id.
+    // The order spans EVERY column: (SOURCE, ALT_EPI_SEQ, HLA_ALLELE)
+    // alone ties for the duplicate keys wBest exists to route, and a tie
+    // makes both SOURCE_ROW_N and the winner/loser split run-dependent
+    // (round-2 review); identical full rows are interchangeable, so the
+    // all-column order is total where it matters
     val wRow = Window.partitionBy("SUBMISSION_ID")
-      .orderBy(col("SOURCE"), col("ALT_EPI_SEQ"), col("HLA_ALLELE"))
+      .orderBy(cleaned.columns.sorted.map(c => col(c).asc_nulls_last): _*)
     val numbered = cleaned
       .withColumn("SOURCE_ROW_N", row_number().over(wRow).cast("string"))
 

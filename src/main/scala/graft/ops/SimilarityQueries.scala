@@ -326,15 +326,18 @@ object SimilarityQueries {
             when(dot(col("e"), planeComp(p, col("e"))) >= 0,
               lit(1L << p)).otherwise(lit(0L)))
             .reduce(_ + _))
-        val a = bucketed.select(col("vec_id").as("id_a"), col("e").as("ea"),
-          col("bucket"))
-        val b = bucketed.select(col("vec_id").as("id_b"), col("e").as("eb"),
-          col("bucket"))
+        // norm hoisted ONCE per row before the self-join (same hoist
+        // ann_ivf documents): inside the join each of a hot bucket's
+        // O(m²) pairs would redo two 128-element self-dot-products
+        val normed = bucketed.withColumn("n", sqrt(dot(col("e"), col("e"))))
+        val a = normed.select(col("vec_id").as("id_a"), col("e").as("ea"),
+          col("n").as("na"), col("bucket"))
+        val b = normed.select(col("vec_id").as("id_b"), col("e").as("eb"),
+          col("n").as("nb"), col("bucket"))
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("sim",
-            round(dot(col("ea"), col("eb")) /
-              (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 4))
+            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
           .filter(col("sim") >= 0.7)
           .select(col("id_a"), col("id_b"), col("sim"))
       },

@@ -118,8 +118,13 @@ object YamlDoc {
       if (kp.nonEmpty) kp.drop(1).foreach { l =>
         if (l.startsWith("  - ")) { // new param object
           flush()
-          fields = Map(kv(l) match { case (k, v) => k -> v })
-          vals = ListBuffer(); inVals = false; started = true
+          val (k, v) = kv(l)
+          // `- values:` as the FIRST line of a param object opens the
+          // list too — only the continuation branch handled it before,
+          // silently dropping such a param's items (round-2 review)
+          inVals = k == "values" && v.isEmpty
+          fields = if (inVals) Map.empty else Map(k -> v)
+          vals = ListBuffer(); started = true
         } else if (l.startsWith("    - ")) { // values-list item
           if (inVals) vals += l.trim.stripPrefix("- ").trim
         } else if (l.startsWith("    ") && started) {

@@ -48,9 +48,17 @@ object ZipArchive {
     * FS (e.g. hdfs://) under spark-submit — never an executor-local disk
     * the driver-side binaryFile scan could not see (round-2 review).
     */
-  def writeZip(path: String, members: Iterator[(String, Array[Byte])]): Unit = {
+  def writeZip(path: String, members: Iterator[(String, Array[Byte])],
+      hadoopConf: Seq[(String, String)] = Nil): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // rebuild the SESSION's Hadoop conf from the serialized kv list: a
+    // bare `new Configuration()` ignores spark.hadoop.* settings
+    // (defaultFS override, object-store credentials) on executors, so
+    // the write would target the wrong FS while the driver-side scan
+    // reads via Spark's conf (round-2 review)
+    val conf = new org.apache.hadoop.conf.Configuration(hadoopConf.isEmpty)
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    val fs = p.getFileSystem(conf)
     val zout = new ZipOutputStream(
       new BufferedOutputStream(fs.create(p, true)))
     try {

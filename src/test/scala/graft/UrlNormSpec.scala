@@ -49,5 +49,10 @@ class UrlNormSpec extends AnyFunSuite {
     assert(norm("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
     // params whose VALUE mentions utm_ survive
     assert(norm("https://a.com/x?q=utm_source") == "https://a.com/x?q=utm_source")
+    // a slash ending a query VALUE distinguishes pages — only PATH
+    // trailing slashes are trimmed
+    assert(norm("https://h/p?next=/home/") == "https://h/p?next=/home/")
+    assert(norm("https://h/p/?id=3") == "https://h/p?id=3")
+    assert(norm("https://h/p/?utm_a=1") == "https://h/p")
   }
 }
