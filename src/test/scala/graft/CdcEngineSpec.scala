@@ -56,10 +56,14 @@ class CdcEngineSpec extends AnyFunSuite {
     val t = replayInto(10)
     val got = t.readUser()
     assertSameSet(got, bruteForce())
-    // north-star invariant: byte-identical extracted text per url
+    // north-star invariant: byte-identical extracted text per url.
+    // NULL-SAFE comparison: =!= would drop rows where either side is
+    // NULL from the filter, so a merge bug nulling text for every row
+    // would still pass — <=> is total (round-2 test review)
     val bad = got.filter(
-      TextHtml.extractText(col("html")) =!= col("text")).count()
+      !(TextHtml.extractText(col("html")) <=> col("text"))).count()
     assert(bad == 0, s"$bad rows with text != extract(html)")
+    assert(got.filter(col("text").isNotNull).count() > 0, "all text NULL")
     // schema evolved to the latest registry version
     assert(t.currentSnapshot.schemaId == 3)
   }

@@ -23,8 +23,11 @@ class DotProductSpec extends AnyFunSuite {
     val got = df.select(
       DotProduct.dot_product(col("a"), col("b")).as("nat"),
       hofDot("a", "b").as("hof"))
-    // exact double equality — same fold order must give the same bits
-    assert(got.filter(col("nat") =!= col("hof")).count() == 0)
+    // exact double equality — same fold order must give the same bits;
+    // null-SAFE compare (an all-NULL native result must fail, not slip
+    // through a three-valued filter) plus a non-null anchor
+    assert(got.filter(!(col("nat") <=> col("hof"))).count() == 0)
+    assert(got.filter(col("nat").isNotNull).count() == 1000)
   }
 
   test("null semantics match zip_with/aggregate") {

@@ -54,7 +54,9 @@ class MainSpec extends AnyFunSuite {
     assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
     assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))
       == ("compact", Map("table" -> "/t", "purge-tombstones" -> "")))
-    intercept[RuntimeException] { Main.run(spark, Seq("frobnicate")) }
-    intercept[RuntimeException] { Main.run(spark, Seq("gc")) } // no --table
+    val e1 = intercept[RuntimeException] { Main.run(spark, Seq("frobnicate")) }
+    assert(e1.getMessage.contains("unknown command"))
+    val e2 = intercept[RuntimeException] { Main.run(spark, Seq("gc")) }
+    assert(e2.getMessage.contains("requires --table"))
   }
 }

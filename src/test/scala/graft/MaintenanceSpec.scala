@@ -33,11 +33,13 @@ class MaintenanceSpec extends AnyFunSuite {
         ev.filter(col("lsn") >= e * 600 && col("lsn") < (e + 1) * 600),
         e.toLong, 3)
       val byBucket = t.currentSnapshot.files.groupBy(_.bucket)
+      assert(byBucket.nonEmpty, s"epoch $e wrote no data files") // not vacuous
       assert(byBucket.values.forall(_.size == 1),
         s"epoch $e fragmented a bucket: " +
           byBucket.filter(_._2.size > 1).keys.toSeq.sorted.mkString(","))
     }
     assert(t.currentSnapshot.fileCount <= 256)
+    assert(t.readUser().count() > 0)
   }
 
   test("compact + expire + gc: content identical, small files and orphans gone, gate intact") {

@@ -15,7 +15,7 @@ class Md5Prefix32Spec extends AnyFunSuite {
       .cast("long")
     val diff = df.select(
       Md5Prefix32.md5_prefix32(col("s")).as("fused"), chain.as("chain"))
-      .filter(col("fused") =!= col("chain")).count()
+      .filter(!(col("fused") <=> col("chain"))).count() // null-safe
     assert(diff == 0)
     // known value: md5("abc") = 900150983c... → 0x90015098
     val v = df.filter(col("s") === "abc")

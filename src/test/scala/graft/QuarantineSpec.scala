@@ -46,9 +46,10 @@ class QuarantineSpec extends AnyFunSuite {
     assert(dead.count() == 1 && dead.select("lsn").head().getLong(0) == 2L)
     // snapshot lineage records the quarantine
     assert(t.currentSnapshot.summary("quarantine-count") == "1")
-    // invariant holds for everything in the table
+    // invariant holds for everything in the table (null-safe compare —
+    // see CdcEngineSpec; here html is non-null for every live row)
     assert(t.readUser().filter(
-      TextHtml.extractText(col("html")) =!= col("text")).count() == 0)
+      !(TextHtml.extractText(col("html")) <=> col("text"))).count() == 0)
   }
 
   test("F10: batch missing a required column is rejected with the column names") {
@@ -58,7 +59,8 @@ class QuarantineSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Merge.applyBatch(spark, t, bad, 0, 3)
     }
-    assert(e.getMessage.contains("op"))
+    assert(e.getMessage.contains("missing required columns")
+      && e.getMessage.contains("op"))
   }
 
   test("K7: metadata-only commit bumps the version, keeps data untouched") {

@@ -25,8 +25,15 @@ class StreamSpec extends AnyFunSuite {
     (0 to t.currentVersion).map { v =>
       val s = t.snapshot(v)
       val df = t.read(s)
-      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).head().get(0)
+      // order-independent content digest as (row count, SUM of row
+      // hashes): bit_xor XOR-cancels any even number of duplicate rows —
+      // exactly the duplicate-application bug this kill/restart test
+      // exists to catch (round-2 test review)
+      val hr = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(count(expr("1")).as("n"),
+          // decimal sum: long hashes overflow ANSI sum() immediately
+          sum(col("h").cast("decimal(38,0)")).as("s")).head()
+      val h = s"${hr.getLong(0)}:${hr.get(1)}"
       Seq(s.schemaId, s.epoch.getOrElse(-1L),
         s.summary.getOrElse("events-in", "-"),
         s.summary.getOrElse("rows-applied", "-"),

@@ -60,6 +60,12 @@ class YamlDocSpec extends AnyFunSuite {
     // like the reference's readLines %>% str_replace_all("null", "NA")
     val (steps, _) = YamlDoc.parse("s", "x:\n  used: null\n  comment: null\n")
     assert(steps === Seq(StepRow("s", "x", None, None, None)))
+    // the replacement is RAW-TEXT (str_replace_all), not YAML-aware: a
+    // "null" embedded in a longer scalar is rewritten too — an input a
+    // plain YAML parser would leave as-is, so removing the pre-parse
+    // replacement fails here (round-2 test review)
+    val (steps2, _) = YamlDoc.parse("s", "x:\n  comment: nullable idea\n")
+    assert(steps2.head.comment === Some("NAable idea"))
   }
 
   test("a step without key_parameters contributes no parameter rows") {

@@ -25,6 +25,14 @@ class ZipArchiveSpec extends AnyFunSuite {
     ZipArchive.writeZip(p3, Iterator(("m.txt", "v".getBytes)))
     assert(Files.readAllBytes(Paths.get(p2)).toSeq ==
       Files.readAllBytes(Paths.get(p3)).toSeq)
+    // mtime pinning asserted directly: two back-to-back writes usually
+    // fall in one 2-second DOS-time window, so byte-equality alone would
+    // miss a regression to wall-clock entry times (round-2 test review)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(Paths.get(p2))))
+    val entryTime = zin.getNextEntry.getTime
+    zin.close()
+    assert(entryTime < 631152000000L, s"entry mtime $entryTime is not pinned")
 
     // empty archive → no rows, no error
     val p4 = s"$dir/empty.zip"
