@@ -106,7 +106,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def validate(m: MergeIntoTable): Unit = {
     def fail(msg: String): Nothing = throw new UnsupportedOperationException(
       "graft MERGE INTO supports the canonical CDC form only — " +
-        "ON t.url = s.url; [WHEN MATCHED AND s.op = 'D' THEN DELETE;] " +
+        "ON t.url = s.url; WHEN MATCHED AND s.op = 'D' THEN DELETE; " +
         "WHEN MATCHED THEN UPDATE SET *; WHEN NOT MATCHED THEN INSERT * — " +
         msg)
     m.mergeCondition match {
