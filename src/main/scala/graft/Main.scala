@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   spark-submit --class graft.Main <jar> create  --table /lake/pages --buckets 4096
   *   spark-submit --class graft.Main <jar> tail    --table /lake/pages --log /wal --checkpoint /ck
+  *   spark-submit --class graft.Main <jar> tail    --table /lake/pages --log /wal --checkpoint /ck \
+  *                                                 --follow --interval 5 [--duration-sec 3600]
   *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
   *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
@@ -47,10 +49,25 @@ object Main {
           numBuckets = opts.get("buckets").map(_.toInt).getOrElse(1024))
         Seq(s"created $table v${t.currentVersion} schema=$schemaVersion")
       case "tail" =>
-        CdcStream.tailAll(spark, opts("log"), table, opts("checkpoint"),
-          schemaVersion,
-          opts.get("max-files-per-trigger").map(_.toInt).getOrElse(1),
-          quarantineDir = opts.get("quarantine"))
+        val mftp = opts.get("max-files-per-trigger").map(_.toInt).getOrElse(1)
+        if (opts.contains("follow")) {
+          // continuous production tail: a resident ProcessingTime stream
+          // that applies files dropped AFTER start without a restart;
+          // --duration-sec bounds the run (ops drills, tests), otherwise
+          // it tails until externally stopped
+          val interval = opts.get("interval").map(_.toDouble).getOrElse(5.0)
+          val q = CdcStream.tail(spark, opts("log"), table, opts("checkpoint"),
+            schemaVersion, mftp, quarantineDir = opts.get("quarantine"),
+            trigger = org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime((interval * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS))
+          opts.get("duration-sec") match {
+            case Some(d) => q.awaitTermination((d.toDouble * 1000).toLong); q.stop()
+            case None => q.awaitTermination()
+          }
+        } else {
+          CdcStream.tailAll(spark, opts("log"), table, opts("checkpoint"),
+            schemaVersion, mftp, quarantineDir = opts.get("quarantine"))
+        }
         report(spark, table)
       case "replay" =>
         val stats = CdcStream.replayChunks(spark, opts("log"), table,

@@ -37,11 +37,22 @@ object CdcStream {
     * (input/processing rates, trigger duration — the LAG side of the
     * north star's "throughput/lag metrics") streams into
     * stream_progress.jsonl via a self-detaching listener.
+    *
+    * Trigger modes (round-2 verdict #1):
+    *  - `Trigger.AvailableNow()` (default): drain the log and exit — the
+    *    batch-oriented catch-up / bench mode;
+    *  - `Trigger.ProcessingTime(interval)`: a LONG-LIVED production tail —
+    *    files dropped into the log after start are picked up on the next
+    *    trigger without a restart (the reference's re-polled queue,
+    *    /root/reference/query_queues.sh:1-19, as one resident stream).
+    * Both share the same checkpoint + epoch gate, so switching modes
+    * mid-lifecycle (drain, then follow) resumes exactly-once.
     */
   def tail(spark: SparkSession, logDir: String, tableDir: String,
       checkpointDir: String, schemaVersion: Int = SchemaRegistry.latestVersion,
       maxFilesPerTrigger: Int = 1,
-      quarantineDir: Option[String] = None): StreamingQuery = {
+      quarantineDir: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val table = LakeTable.load(spark, tableDir)
     val eventSchema = chunkSchema(schemaVersion)
     val events = spark.readStream
@@ -49,48 +60,63 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
       .parquet(logDir)
-    val q = events.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Catalyst's size estimate lets the merge pick prune vs
-        // full-rewrite without running a job
-        val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-        val stats = Merge.applyBatch(batch.sparkSession, table, batch,
-          epoch = batchId, batchSchemaVersion = schemaVersion,
-          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
-          quarantineDir = quarantineDir,
-          // production tail emits the north star's per-partition lineage
-          partitionLineage = true,
-          // stream epochs (batchIds) gate in their own namespace so an
-          // interleaved SQL/CLI merge cannot swallow a stream batch
-          gateKey = StreamGateKey)
-        if (stats.applied) Metrics.append(tableDir, stats)
-        ()
-      }
-      .start()
-    attachProgressSink(spark, q.id, tableDir)
-    q
+    // progress listener registered BEFORE start and bound by query name in
+    // onQueryStarted (delivered synchronously with start()): registering
+    // after start raced a fast first AvailableNow micro-batch, silently
+    // dropping its progress line (round-2 advice)
+    val queryName = s"graft-tail-${java.util.UUID.randomUUID().toString.take(8)}"
+    val remove = attachProgressSink(spark, queryName, tableDir)
+    try {
+      events.writeStream
+        .queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Catalyst's size estimate lets the merge pick prune vs
+          // full-rewrite without running a job
+          val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val stats = Merge.applyBatch(batch.sparkSession, table, batch,
+            epoch = batchId, batchSchemaVersion = schemaVersion,
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+            quarantineDir = quarantineDir,
+            // production tail emits the north star's per-partition lineage
+            partitionLineage = true,
+            // stream epochs (batchIds) gate in their own namespace so an
+            // interleaved SQL/CLI merge cannot swallow a stream batch
+            gateKey = StreamGateKey)
+          if (stats.applied) Metrics.append(tableDir, stats)
+          ()
+        }
+        .start()
+    } catch { case e: Throwable => remove(); throw e }
   }
 
-  /** Pipe this query's StreamingQueryProgress lines to the table's metrics
-    * dir; removes itself when the query terminates.
+  /** Pipe the named query's StreamingQueryProgress lines to the table's
+    * metrics dir; removes itself when the query terminates. Returns a
+    * handle to detach early (used if start() itself fails — the name
+    * would never match and the listener would leak).
     */
   private def attachProgressSink(spark: SparkSession,
-      queryId: java.util.UUID, tableDir: String): Unit = {
+      queryName: String, tableDir: String): () => Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val l = new StreamingQueryListener {
+      // runId (not id): a restart from the same checkpoint keeps the query
+      // id but mints a new runId, so matching on runId scopes each
+      // listener to exactly the run that registered it
+      @volatile private var runId: java.util.UUID = null
       override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == queryName) runId = e.runId
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == queryId)
+        if (e.progress.runId == runId)
           Metrics.appendStreamProgress(tableDir, e.progress.json)
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == queryId) spark.streams.removeListener(this)
+        if (e.runId == runId) spark.streams.removeListener(this)
     }
     spark.streams.addListener(l)
+    () => spark.streams.removeListener(l)
   }
 
   /** Blocking convenience: tail until the log is drained. */

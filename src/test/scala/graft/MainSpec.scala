@@ -50,6 +50,40 @@ class MainSpec extends AnyFunSuite {
     assert(t.readUser().filter($"url" === "http://a").head().getAs[String]("text") == "text a2")
   }
 
+  test("CLI tail --follow applies files dropped while the stream is live") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("cli-follow-table")
+    val logDir = TestSpark.tempDir("cli-follow-log")
+    val ck = TestSpark.tempDir("cli-follow-ck")
+    Main.run(spark, Seq("create", "--table", dir, "--buckets", "4"))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def writeChunk(n: Int, lsn: Long, url: String): Unit = {
+      // the log is a directory of FILES (what a binlog shipper drops);
+      // write via scratch, then move the single part file in
+      val tmp = TestSpark.tempDir(s"cli-follow-chunk$n")
+      Seq((lsn, "U", url, ts, null: Array[Byte], s"text $lsn", "en", 6L, 3))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang",
+          "content_len", "schema_version")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = graft.core.Fs.list(java.nio.file.Paths.get(tmp))
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(logDir, s"chunk-$n.parquet"))
+    }
+    writeChunk(0, 1L, "http://a")
+    // drop the second chunk while the bounded follow run is live
+    val dropper = new Thread(() => {
+      Thread.sleep(1500); writeChunk(1, 2L, "http://b")
+    })
+    dropper.start()
+    val out = Main.run(spark, Seq("tail", "--table", dir, "--log", logDir,
+      "--checkpoint", ck, "--follow", "--interval", "0.2",
+      "--duration-sec", "10"))
+    dropper.join()
+    assert(out.head.contains("version=2"), out.mkString("; "))
+    assert(graft.lake.LakeTable.load(spark, dir).readUser().count() == 2)
+  }
+
   test("CLI arg parser and unknown-command guard") {
     assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
     assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))

@@ -115,6 +115,44 @@ class StreamSpec extends AnyFunSuite {
     assert(fingerprint(tB) == fingerprint(tA))
   }
 
+  test("continuous tail (ProcessingTime): files dropped after start are " +
+    "applied without restart; chain equals a drain run") {
+    val stage = TestSpark.tempDir("followStage")
+    val chunks = ChangeGen.writeLog(spark, cfg, stage, nChunks = 8)
+
+    // drain-run reference chain
+    val logA = TestSpark.tempDir("followLogA")
+    chunks.foreach(c => copyChunk(c, logA))
+    val dirA = TestSpark.tempDir("followTableA")
+    LakeTable.create(spark, dirA, schemaId = 3, numBuckets = 8)
+    CdcStream.tailAll(spark, logA, dirA, TestSpark.tempDir("followCkA"))
+    val tA = LakeTable.load(spark, dirA)
+
+    // follow run: only half the log exists at start
+    val logB = TestSpark.tempDir("followLogB")
+    chunks.take(4).foreach(c => copyChunk(c, logB))
+    val dirB = TestSpark.tempDir("followTableB")
+    LakeTable.create(spark, dirB, schemaId = 3, numBuckets = 8)
+    val tB = LakeTable.load(spark, dirB)
+    val q = CdcStream.tail(spark, logB, dirB, TestSpark.tempDir("followCkB"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+    def waitForVersion(v: Int): Unit = {
+      val deadline = System.nanoTime() + 120_000_000_000L
+      while (tB.currentVersion < v && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(tB.currentVersion == v,
+        s"follow tail stalled at v${tB.currentVersion}, wanted v$v")
+    }
+    try {
+      waitForVersion(4)
+      // drop the rest of the log into the live stream — the resident
+      // trigger must pick them up with no restart
+      chunks.drop(4).foreach(c => copyChunk(c, logB))
+      waitForVersion(8)
+    } finally q.stop()
+    assert(fingerprint(tB) == fingerprint(tA))
+  }
+
   test("epoch namespaces: a batch merge between stream batches cannot swallow them") {
     import spark.implicits._
     val dir = TestSpark.tempDir("nsTable")
