@@ -242,7 +242,14 @@ object Merge {
         // extractText over the full batch (round-1 verdict #6)
         val q = joined.filter(bad).persist()
         try {
-          q.write.mode("append").parquet(qd)
+          // epoch-keyed OVERWRITE, not a flat append: the dead-letter write
+          // happens before the atomic manifest publish, so a crash (or
+          // lost commit race) after it followed by a replay of the same
+          // epoch would re-append identical poison rows and double-count
+          // the dead-letter table. Overwriting this epoch's partition
+          // makes the replay idempotent (round-2 advice); readers see one
+          // partitioned dataset with `epoch` as a discovered column.
+          q.write.mode("overwrite").parquet(s"$qd/epoch=$epoch")
           // count from footers of what we just appended is ambiguous across
           // batches; count the (tiny, now cached) poison set directly
           q.count()
@@ -306,24 +313,28 @@ object Merge {
 
     // per-PARTITION lineage (north star: source LSN range, rows applied,
     // conflict count per partition): one extra agg over the CACHED key
-    // plan, run async behind the manifest publish and joined before the
-    // cache is released. Opt-in (graft.merge.partitionLineage) because
-    // it is one more job per batch; the streaming tail enables it.
-    val partLineage: Option[Future[Unit]] =
+    // plan, run async behind the manifest publish. Only the AGG runs
+    // concurrently with the commit — the jsonl append happens strictly
+    // after commitDelta returns, so a failed/raced commit can never leave
+    // phantom lineage rows for an epoch that was not published, and a
+    // lineage failure after publish is logged, not rethrown as a bogus
+    // merge failure (round-2 advice). Opt-in (graft.merge.partitionLineage)
+    // because it is one more job per batch; the streaming tail enables it.
+    val partLineage: Option[Future[Seq[Metrics.PartitionLineage]]] =
       if (!(partitionLineage || spark.conf
           .getOption("graft.merge.partitionLineage").exists(_.toBoolean)))
         None
       else Some(Future {
-        val rows = perKeyPlan
+        perKeyPlan
           .groupBy(bucketOf(col("url"), nb).as("bucket"))
           .agg(sum("cnt").as("events"), count(lit(1)).as("keys"),
             min("lsnMin").as("lsn_min"), max("lsnMax").as("lsn_max"))
           .collect()
-        Metrics.appendPartitionLineage(table.dir, epoch, rows.map { r =>
-          Metrics.PartitionLineage(r.getAs[Int]("bucket"),
-            r.getAs[Long]("events"), r.getAs[Long]("keys"),
-            r.getAs[Long]("lsn_min"), r.getAs[Long]("lsn_max"))
-        }.toSeq)
+          .map { r =>
+            Metrics.PartitionLineage(r.getAs[Int]("bucket"),
+              r.getAs[Long]("events"), r.getAs[Long]("keys"),
+              r.getAs[Long]("lsn_min"), r.getAs[Long]("lsn_max"))
+          }.toSeq
       })
 
     // 6b. publish manifest (phase 2, atomic). Lineage keys carry forward
@@ -351,7 +362,16 @@ object Merge {
     // metadata IO is O(touched), not O(live files) (manifest-list split)
     table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
       written, summary)
-    partLineage.foreach(Await.result(_, Duration.Inf))
+    partLineage.foreach { f =>
+      try Metrics.appendPartitionLineage(table.dir, epoch,
+        Await.result(f, Duration.Inf))
+      catch { case e: Throwable =>
+        // the merge IS committed at this point — surface the lineage gap
+        // without converting a successful publish into a reported failure
+        System.err.println(s"[graft] partition-lineage for epoch $epoch " +
+          s"failed after commit (${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
+    }
     perKeyPlan.unpersist() // no-op unless persisted (prune path / prepared)
     preparedWinners.foreach(_.unpersist())
     tp = dbg(epoch, "commit", tp)

@@ -198,6 +198,10 @@ object ReaderQueries {
       (s, dir) => {
         import s.implicits._
         import scala.jdk.CollectionConverters._
+        // staging root honors graft.scratch.dir (set it to a shared mount
+        // under spark-submit so executor-side zip writes land where the
+        // driver-side binaryFile scan below will look — round-2 verdict #7;
+        // defaults to java.io.tmpdir, correct for local mode)
         val zipDir = graft.core.Fs.scratchDir("zips")
         // ship the session's Hadoop conf to the writing tasks so archive
         // staging honors spark.hadoop.* (defaultFS, credentials) — the

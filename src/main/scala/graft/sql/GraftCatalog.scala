@@ -62,6 +62,9 @@ class GraftCatalog extends TableCatalog {
 
   /** `name$kind` → (base table dir, metadata kind) for the Iceberg-style
     * metadata tables (`$history`, `$files`, `$manifests`, `$metrics`).
+    * A REAL table whose directory is literally named `a$files` shadows the
+    * metadata view — without this check it was unaddressable as a base
+    * table (round-2 advice).
     */
   private def metaSplit(ident: Identifier): Option[(String, String)] = {
     val n = ident.name()
@@ -70,6 +73,7 @@ class GraftCatalog extends TableCatalog {
     else {
       val kind = n.substring(i + 1)
       if (!GraftMetaTables.kinds.contains(kind)) None
+      else if (LakeTable.exists(dirFor(ident))) None
       else Some((dirFor(Identifier.of(ident.namespace(), n.substring(0, i))), kind))
     }
   }
