@@ -376,34 +376,49 @@ object RelationalQueries {
     // W4: global stable row-number over a total order
     // (ref: make_round3_prediction_files.R:144 SOURCE_ROW_N). The 100-TB
     // plan — never a single-partition Window.orderBy, never
-    // monotonically_increasing_id (SURVEY §7.4): range-repartition on the
-    // sort key, rank WITHIN each partition, add broadcast cumulative
-    // per-partition offsets. The range-partitioned projection is
-    // localCheckpoint-pinned so the offsets job and the rank job see the
-    // SAME partition boundaries (RangePartitioner samples with an
-    // rdd-id-derived seed, so re-evaluation across jobs could shift rows).
+    // monotonically_increasing_id (SURVEY §7.4): split the key space at
+    // EXPLICIT boundary literals (one driver-collected percentile job),
+    // rank within each range, add broadcast cumulative offsets. Because
+    // the range id is a pure function of the row's own key against plan
+    // literals, the offsets job and the rank job agree by construction —
+    // correctness depends on no checkpoint/cache surviving (the round-2
+    // localCheckpoint pinned blocks to executors: one lost executor made
+    // the query unrecoverable on a cluster, and a silent recompute could
+    // shift RangePartitioner boundaries — round-2 verdict #1).
     QueryDef(
       "w4_global_rownum",
       (s, dir) => {
         val parts = s.sessionState.conf.numShufflePartitions
-        val ranged = tbl(s, dir, "events")
-          .select("event_id", "ts")
-          .repartitionByRange(parts, col("ts"), col("event_id"))
-          .withColumn("_pid", spark_partition_id())
-          .localCheckpoint(true)
-        // per-partition counts → cumulative offsets: O(parts) rows of
-        // partition METADATA on the driver, not data
-        val offsets = ranged.groupBy("_pid").count()
+        val keyed = tbl(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            unix_micros(col("ts").cast("timestamp")).as("_k"))
+        // balanced split points of the sort key — approximate is fine
+        // (imbalance costs time, never correctness) and the sketch agg is
+        // one narrow map-combined pass
+        val probs = (1 until parts).map(_.toDouble / parts)
+        val cuts = keyed
+          .agg(percentile_approx(col("_k"), typedLit(probs), lit(10000)).as("c"))
+          .head().getSeq[Long](0).distinct.sorted
+        // range id = #cuts below the row's key: equal keys always land in
+        // the same range, so per-range (ts, event_id) order concatenates
+        // to exactly the global (ts, event_id) order
+        val rid = cuts.foldLeft(lit(0)) { (acc, c) =>
+          acc + when(col("_k") >= lit(c), 1).otherwise(0)
+        }
+        val ranged = keyed.withColumn("_rid", rid)
+        // per-range counts → cumulative offsets: O(parts) rows of range
+        // METADATA on the driver, not data
+        val offsets = ranged.groupBy("_rid").count()
           .collect().map(r => (r.getInt(0), r.getLong(1)))
           .sortBy(_._1)
           .scanLeft((0, 0L, 0L)) { case ((_, _, cum), (pid, n)) =>
             (pid, cum, cum + n)
           }.drop(1).map { case (pid, off, _) => (pid, off) }
-        val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-        val wLocal = Window.partitionBy("_pid").orderBy(col("ts"), col("event_id"))
+        val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("_rid", "_off"))
+        val wLocal = Window.partitionBy("_rid").orderBy(col("ts"), col("event_id"))
         ranged
           .withColumn("_rn", row_number().over(wLocal))
-          .join(offDf, "_pid")
+          .join(offDf, "_rid")
           .select(col("event_id"),
             (col("_off") + col("_rn")).cast("int").as("source_row_n"))
       },

@@ -111,13 +111,31 @@ object SimilarityQueries {
         .as("band"))
   }
 
+  /** Eager RELIABLE materialization of a small intermediate result.
+    * Replaces the round-2 `localCheckpoint(true)`: local checkpoints pin
+    * blocks to executors and truncate lineage, so on a real cluster
+    * losing ONE executor after the checkpoint made the query
+    * unrecoverable instead of recomputed (round-2 verdict #1). A reliable
+    * checkpoint writes through the checkpoint dir — `graft.scratch.dir`
+    * (shared storage under spark-submit; java.io.tmpdir locally) — and
+    * survives executor loss. Only ever applied to O(near-dups)-sized
+    * sets, so the write-through cost is bounded by the result, not the
+    * input.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(graft.core.Fs.scratchDir("graft-ckpt"))
+    df.checkpoint(eager = true)
+  }
+
   /** LSH near-dup candidate pairs (doc_a < doc_b sharing a full band),
     * shuffled on band-hash — never all-pairs. The expensive band subplan
     * is cached only for the duration of the self-join: the (small,
-    * O(near-dups)) pair set is materialized via localCheckpoint and the
-    * cache is released before returning, so repeated invocations in a
-    * long-lived session (Bench runs all 72 queries per session) do not
-    * accrete storage.
+    * O(near-dups)) pair set is materialized reliably and the cache is
+    * released before returning, so repeated invocations in a long-lived
+    * session (Bench runs all 72 queries per session) do not accrete
+    * storage.
     */
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     lshCandidatePairsFrom(minhashBands(s, dir))
@@ -125,11 +143,11 @@ object SimilarityQueries {
   private def lshCandidatePairsFrom(bandsPlan: DataFrame): DataFrame = {
     val bands = bandsPlan.persist()
     try {
-      bands.as("a").join(bands.as("b"), col("a.band") === col("b.band")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint(true)
+      materialize(
+        bands.as("a").join(bands.as("b"), col("a.band") === col("b.band")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct())
     } finally bands.unpersist()
   }
 
@@ -275,9 +293,9 @@ object SimilarityQueries {
           val candIds = cand
             .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
             .distinct()
-          // checkpoint the candidate docs' shingle sets (an O(near-dups)
+          // materialize the candidate docs' shingle sets (an O(near-dups)
           // row set): BOTH pair joins read it
-          val docs = sh.join(candIds, "doc_id").localCheckpoint(true)
+          val docs = materialize(sh.join(candIds, "doc_id"))
           cand
             .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
             .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -289,7 +307,7 @@ object SimilarityQueries {
             .filter(col("jaccard") >= 0.5)
             // pin the (tiny) verified pair set so unpersisting the
             // shingle cache below cannot force a recompute at action time
-            .localCheckpoint(true)
+            .transform(materialize)
         } finally sh.unpersist()
       },
       Some(s"""$bandsSqlCtes,
