@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
@@ -43,10 +44,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val mergeTargets = plan.collect { case m: MergeIntoTable =>
-      m.targetTable.collect {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
-      }
+    // write TARGETS must not be read-lowered before their own lowering
+    // fires (a Project over a parquet scan is not an insertable relation)
+    val writeTargets = plan.collect {
+      case m: MergeIntoTable => relationsOf(m.targetTable)
+      case a: AppendData => relationsOf(a.table)
+      case o: OverwriteByExpression => relationsOf(o.table)
+      case i: InsertIntoStatement => relationsOf(i.table)
     }.flatten.toSet
     plan.resolveOperatorsDown {
       case m: MergeIntoTable if graftTarget(m.targetTable).isDefined &&
@@ -56,8 +60,29 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "cannot MERGE INTO a time-travel (VERSION AS OF) relation")
         validate(m)
         GraftMergeCommand(t.dir, m.sourceTable)
+      // K1 analog (round-2 verdict #3): INSERT INTO graft.t lowers to an
+      // epoch-allocating upsert append (reference: WRITE_APPEND,
+      // /root/reference/upload_data/Submissions/round1/upload_round1_submissions.R:75-76)
+      case a: AppendData if graftTarget(a.table).isDefined && a.query.resolved =>
+        val t = graftTarget(a.table).get
+        require(t.pinVersion.isEmpty,
+          "cannot INSERT INTO a time-travel (VERSION AS OF) relation")
+        GraftInsertCommand(t.dir, a.query, a.isByName)
+      case o: OverwriteByExpression if graftTarget(o.table).isDefined =>
+        throw new UnsupportedOperationException(
+          "INSERT OVERWRITE is not supported on graft tables: appends are " +
+            "epoch-gated upserts (INSERT INTO) and row-level changes go " +
+            "through the canonical MERGE INTO")
+      case c: CreateTableAsSelect if isGraftCtas(c) && c.query.resolved =>
+        val r = c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
+        val props = c.tableSpec match {
+          case t: TableSpec => t.properties
+          case _ => Map.empty[String, String]
+        }
+        GraftCtasCommand(r.catalog.asInstanceOf[GraftCatalog], r.identifier,
+          c.query, props, c.ignoreIfExists)
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] && !mergeTargets.contains(r) =>
+          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
         lowerRead(r, r.table.asInstanceOf[GraftTable])
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMetaTable] =>
         val t = r.table.asInstanceOf[GraftMetaTable]
@@ -65,6 +90,17 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftMetaTables.df(spark, t.dir, t.kind, t.pinVersion)
             .queryExecution.analyzed)
     }
+  }
+
+  private def relationsOf(p: LogicalPlan): Seq[DataSourceV2Relation] =
+    p.collect {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+    }
+
+  private def isGraftCtas(c: CreateTableAsSelect): Boolean = c.name match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      r.catalog.isInstanceOf[GraftCatalog]
+    case _ => false
   }
 
   private def graftTarget(p: LogicalPlan): Option[GraftTable] = p match {
@@ -156,15 +192,10 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Eagerly-executed MERGE: applies the source change-event plan to the
-  * lake table through the engine's CDC merge and returns the batch
-  * lineage row. Epoch: `graft.merge.epoch` session conf if set (replays
-  * hit the exactly-once gate and no-op), else last committed + 1.
-  */
-case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
-    extends LeafRunnableCommand {
+/** Shared plumbing of the eager SQL write commands. */
+private[sql] object GraftWrites {
 
-  override val output: Seq[Attribute] = Seq(
+  val lineageOutput: Seq[Attribute] = Seq(
     AttributeReference("epoch", LongType, nullable = false)(),
     AttributeReference("applied", org.apache.spark.sql.types.BooleanType, nullable = false)(),
     AttributeReference("events_in", LongType, nullable = false)(),
@@ -172,12 +203,11 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
     AttributeReference("conflicts", LongType, nullable = false)(),
     AttributeReference("deletes", LongType, nullable = false)())
 
-  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
-
   /** Smallest registry version whose schema admits every source data
     * column (up-cast only), never below the table's current version.
     */
-  private def inferSchemaVersion(batch: StructType, currentId: Int): Int = {
+  def inferSchemaVersion(table: LakeTable, batch: StructType): Int = {
+    val currentId = table.currentSnapshot.schemaId
     val meta = Set("lsn", "op", "schema_version")
     def fits(v: Int): Boolean = {
       val reg = SchemaRegistry.schemaFor(v)
@@ -188,23 +218,136 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
     }
     val v = SchemaRegistry.versions.keys.toSeq.sorted.find(fits)
       .getOrElse(throw new IllegalArgumentException(
-        s"MERGE source schema matches no registry version: ${batch.simpleString}"))
+        s"source schema matches no registry version: ${batch.simpleString}"))
     math.max(v, currentId)
   }
+
+  def allocatedEpoch(session: SparkSession, table: LakeTable): Long =
+    session.conf.getOption("graft.merge.epoch").map(_.toLong)
+      .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
+
+  def applyAndLog(session: SparkSession, table: LakeTable,
+      batch: org.apache.spark.sql.DataFrame, epoch: Long): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val v = inferSchemaVersion(table, batch.schema)
+    val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v,
+      // session-conf knobs, same surface the CLI exposes as flags
+      quarantineDir = session.conf.getOption("graft.merge.quarantineDir"))
+    // same lineage sink as the stream drivers — SQL writes show up in
+    // the $metrics metadata table too
+    if (s.applied) graft.cdc.Metrics.append(table.dir, s)
+    Seq(Row(s.epoch, s.applied, s.eventsIn, s.rowsApplied, s.conflicts, s.deletes))
+  }
+
+  /** User rows → change-event batch: op='U' throughout, with synthetic
+    * LSNs in the epoch's own band — (epoch+1)·2^44 + a within-job unique
+    * offset. Uniqueness is all the merge needs (the winner semi-join keys
+    * on LSN); the high band makes an insert win a warc_ts tie against
+    * older table rows, which is what "append" should mean. An imperative
+    * INSERT is not a replayed binlog, so lineage-stable numbering (the W4
+    * discipline) is deliberately NOT paid here.
+    */
+  def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    userRows
+      .withColumn("op", lit("U"))
+      .withColumn("lsn", lit((epoch + 1) * (1L << 44)) + monotonically_increasing_id())
+  }
+
+  /** Align an INSERT source to the table's user columns: by name (missing
+    * nullable columns backfilled by the merge) or by position (arity must
+    * match; columns renamed onto the target order).
+    */
+  def alignInsert(src: org.apache.spark.sql.DataFrame, target: StructType,
+      byName: Boolean): org.apache.spark.sql.DataFrame =
+    if (byName) src
+    else {
+      require(src.columns.length == target.fields.length,
+        s"INSERT by position needs ${target.fields.length} columns " +
+          s"(${target.fields.map(_.name).mkString(", ")}), got ${src.columns.length}")
+      src.toDF(target.fields.map(_.name).toIndexedSeq: _*)
+    }
+}
+
+/** Eagerly-executed MERGE: applies the source change-event plan to the
+  * lake table through the engine's CDC merge and returns the batch
+  * lineage row. Epoch: `graft.merge.epoch` session conf if set (replays
+  * hit the exactly-once gate and no-op), else last committed + 1.
+  */
+case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val table = LakeTable.load(session, tableDir)
     val batch = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
-    val epoch = session.conf.getOption("graft.merge.epoch").map(_.toLong)
-      .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
-    val v = inferSchemaVersion(batch.schema, table.currentSnapshot.schemaId)
-    val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v,
-      // session-conf knobs, same surface the CLI exposes as flags
-      quarantineDir = session.conf.getOption("graft.merge.quarantineDir"))
-    // same lineage sink as the stream drivers — SQL merges show up in
-    // the $metrics metadata table too
-    if (s.applied) graft.cdc.Metrics.append(tableDir, s)
-    Seq(Row(s.epoch, s.applied, s.eventsIn, s.rowsApplied, s.conflicts, s.deletes))
+    GraftWrites.applyAndLog(session, table,
+      batch, GraftWrites.allocatedEpoch(session, table))
+  }
+}
+
+/** Eagerly-executed `INSERT INTO graft.t` — the K1 plain-append analog
+  * (reference: bq_table_upload(..., WRITE_APPEND),
+  * /root/reference/upload_data/Submissions/round1/upload_round1_submissions.R:75-76),
+  * expressed as an epoch-allocating upsert: rows become op='U' change
+  * events with banded synthetic LSNs and go through the same
+  * exactly-once-gated merge as every other write, so $history/$metrics
+  * lineage covers SQL appends too. (A staging table that already carries
+  * real `lsn`/`op` change events is applied with MERGE INTO, not INSERT —
+  * Spark's own output resolution rejects extra columns before any
+  * extension rule can see them.)
+  */
+case class GraftInsertCommand(tableDir: String, source: LogicalPlan,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = LakeTable.load(session, tableDir)
+    val src = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
+    val target = SchemaRegistry.schemaFor(table.currentSnapshot.schemaId)
+    val epoch = GraftWrites.allocatedEpoch(session, table)
+    GraftWrites.applyAndLog(session, table,
+      GraftWrites.toEvents(GraftWrites.alignInsert(src, target, byName), epoch),
+      epoch)
+  }
+}
+
+/** Eagerly-executed `CREATE TABLE graft.t [TBLPROPERTIES(...)] AS SELECT`:
+  * creates the lake table through the catalog (schema must match a
+  * registry version — SQL cannot mint ungoverned schemas) and applies the
+  * query as the table's first epoch via the INSERT path.
+  */
+case class GraftCtasCommand(catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    source: LogicalPlan, properties: Map[String, String],
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import scala.jdk.CollectionConverters._
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Nil // IF NOT EXISTS: no create, no write
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    }
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
+    val created = catalog.createTable(ident, src.schema,
+      Array.empty[Transform], properties.asJava).asInstanceOf[GraftTable]
+    val table = LakeTable.load(session, created.dir)
+    val epoch = GraftWrites.allocatedEpoch(session, table)
+    GraftWrites.applyAndLog(session, table,
+      GraftWrites.toEvents(src, epoch), epoch)
   }
 }

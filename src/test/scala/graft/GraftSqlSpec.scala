@@ -178,6 +178,80 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO and CTAS: create -> insert -> merge -> select purely via SQL") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqlinswh")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""CREATE TABLE graft.ins_pages (
+        |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+        |  text STRING, lang STRING, content_len BIGINT)
+        |TBLPROPERTIES ('buckets' = '4')""".stripMargin)
+
+      // K1 analog: plain-append rows (no lsn/op — the engine allocates)
+      val r0 = s.sql("""INSERT INTO graft.ins_pages VALUES
+        |  ('http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  ('http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'de', 6L)""".stripMargin)
+        .collect().head
+      assert(r0.getAs[Boolean]("applied") && r0.getAs[Long]("rows_applied") == 2)
+
+      // second INSERT upserts: same key with a newer warc_ts wins
+      s.sql("""INSERT INTO graft.ins_pages VALUES
+        |  ('http://a', TIMESTAMP '2024-01-02 00:00:00', CAST(NULL AS BINARY), 'text a v2', 'en', 9L)""".stripMargin)
+        .collect()
+      val rows = s.sql("SELECT url, text FROM graft.ins_pages ORDER BY url")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq == Seq(("http://a", "text a v2"), ("http://b", "text b")))
+
+      // a MERGE composes on top of SQL-inserted state
+      s.sql(mergeSql(s"$wh/ins_pages",
+        """SELECT 900L AS lsn, 'D' AS op, 'http://b' AS url,
+          |TIMESTAMP '2024-01-03 00:00:00' AS warc_ts,
+          |CAST(NULL AS BINARY) AS html, CAST(NULL AS STRING) AS text,
+          |CAST(NULL AS STRING) AS lang, CAST(NULL AS BIGINT) AS content_len""".stripMargin))
+        .collect()
+      assert(s.sql("SELECT url FROM graft.ins_pages").collect()
+        .map(_.getString(0)).toSeq == Seq("http://a"))
+
+      // every SQL write is lineage-visible: v1 create, v2+v3 inserts, v4 merge
+      val hist = s.sql(
+        "SELECT version, epoch, rows_applied FROM graft.`ins_pages$history` ORDER BY version")
+        .collect()
+      assert(hist.length == 4)
+      assert(hist(1).getLong(2) == 2L) // first insert's lineage row
+      // epochs allocated in order across insert/insert/merge
+      assert(hist.drop(1).map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+
+      // CTAS: schema comes from the query, must match a registry version
+      s.sql("""CREATE TABLE graft.ins_copy TBLPROPERTIES ('buckets' = '2')
+        |AS SELECT url, warc_ts, html, text, lang, content_len
+        |FROM graft.ins_pages""".stripMargin).collect()
+      assert(graft.lake.LakeTable.exists(s"$wh/ins_copy"))
+      assert(s.sql("SELECT url, text FROM graft.ins_copy").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+        == Seq(("http://a", "text a v2")))
+      // IF NOT EXISTS: existing table → no create, no write
+      s.sql("""CREATE TABLE IF NOT EXISTS graft.ins_copy
+        |AS SELECT * FROM graft.ins_pages""".stripMargin).collect()
+      assert(s.sql("SELECT count(*) FROM graft.`ins_copy$history`")
+        .head().getLong(0) == 2L) // still create + first epoch only
+
+      // INSERT OVERWRITE is rejected with guidance, not silently lowered
+      val e = intercept[Exception] {
+        s.sql("""INSERT OVERWRITE graft.ins_pages VALUES
+          |  ('http://z', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'z', 'en', 1L)""".stripMargin)
+      }
+      assert(e.getMessage.contains("INSERT OVERWRITE"))
+
+      // INSERT with an explicit column list: unnamed columns null-backfill
+      s.sql("""INSERT INTO graft.ins_pages (url, warc_ts, text)
+        |VALUES ('http://d', TIMESTAMP '2024-01-04 00:00:00', 'text d')""".stripMargin)
+        .collect()
+      val d = s.sql("SELECT lang, text FROM graft.ins_pages WHERE url = 'http://d'")
+        .head()
+      assert(d.isNullAt(0) && d.getString(1) == "text d")
+    }
+  }
+
   test("SQL MERGE drives registry schema evolution: v1 table, v3 source") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlevo")
