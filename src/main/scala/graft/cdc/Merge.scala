@@ -134,16 +134,18 @@ object Merge {
         (System.nanoTime() - t0) / 1000000)
     }
 
-    // 2. schema evolution via the registry
+    // 2. schema evolution via the registry (resolved THROUGH the table so
+    //    ALTER TABLE-minted versions work exactly like builtin ones)
     val newSchemaId = math.max(snap.schemaId, batchSchemaVersion)
     if (newSchemaId != snap.schemaId) {
       val ok = SchemaRegistry.canEvolve(
-        SchemaRegistry.schemaFor(snap.schemaId), SchemaRegistry.schemaFor(newSchemaId))
+        table.registrySchemaFor(snap.schemaId), table.registrySchemaFor(newSchemaId))
       require(ok, s"illegal schema evolution ${snap.schemaId} -> $newSchemaId")
     }
     val target = table.schemaFor(newSchemaId) // incl. _lsn/_op
+    val dataSchema = table.registrySchemaFor(newSchemaId)
     val nb = snap.numBuckets
-    val aligned = alignBatch(rawBatch, newSchemaId)
+    val aligned = alignBatch(rawBatch, dataSchema)
 
     // key-only argmax subplan (batch dedup without moving payload): a
     // narrow scan of (url, warc_ts, lsn, op) — parquet prunes html/text —
@@ -218,7 +220,7 @@ object Merge {
     //    is a pure argmax over the whole log, independent of batch
     //    boundaries (replay convergence, §7.4 #1).
     val winnersRaw = preparedWinners.getOrElse(prepareWinners(rawBatch, perKeyPlan))
-    val joined = alignBatch(winnersRaw, newSchemaId)
+    val joined = alignBatch(winnersRaw, dataSchema)
     // T4 quarantine / dead-letter (reference analog: problem_submissions,
     // make_round3_prediction_files.R:54-56,237): a poison event — one whose
     // html does NOT re-extract byte-identically to its text — is routed to
@@ -385,7 +387,8 @@ object Merge {
     * missing columns null-backfilled, narrow types widened — BigQuery
     * NULLABLE semantics (SURVEY.md §2.11 T7).
     */
-  private def alignBatch(batch: DataFrame, schemaId: Int): DataFrame = {
+  private def alignBatch(batch: DataFrame,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     // F10 schema assertion (ref: check_columns,
     // make_round3_prediction_files.R:217-223): the change-event key and
     // ordering columns are REQUIRED; missing ones are a caller bug, not
@@ -394,7 +397,7 @@ object Merge {
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"batch has missing required columns: " +
       missing.mkString(", "))
-    val dataCols = SchemaRegistry.schemaFor(schemaId).fields
+    val dataCols = dataSchema.fields
     val keep = Seq(col("lsn"), col("op")) ++ dataCols.map { f =>
       if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -111,10 +111,67 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     */
   def schemaFor(schemaId: Int): StructType = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
-    val base = graft.core.SchemaRegistry.schemaFor(schemaId)
+    val base = registrySchemaFor(schemaId)
     StructType(base.fields ++ Seq(
       StructField(graft.core.Schemas.LsnCol, LongType),
       StructField(graft.core.Schemas.OpCol, StringType)))
+  }
+
+  // --- persisted registry extensions (round-2 verdict #5) ---------------
+  //
+  // The builtin SchemaRegistry covers producer-declared versions 1..3; a
+  // table can mint HIGHER versions operationally via ALTER TABLE (the
+  // reference's V3→V4 dataset switch was an operational act, not a code
+  // release — /root/reference/create_tables/create_submission_tables.sh:1-28).
+  // Minted schemas persist as meta/schemas/s<id>.json so every later
+  // reader/writer of the table resolves them without a recompile.
+
+  private def schemasDir: Path = metaDir.resolve("schemas")
+  private val LocalSchemaName = "s(\\d+)\\.json".r
+
+  /** Data schema (no lineage columns) for a schemaId: table-local minted
+    * versions first, then the builtin registry.
+    */
+  def registrySchemaFor(schemaId: Int): StructType =
+    localSchema(schemaId).getOrElse(graft.core.SchemaRegistry.schemaFor(schemaId))
+
+  private def localSchema(id: Int): Option[StructType] = {
+    val p = schemasDir.resolve(s"s$id.json")
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+      .asInstanceOf[StructType])
+  }
+
+  /** Every schema version this table can resolve (builtin + minted). */
+  def knownSchemaVersions: Seq[Int] = {
+    val local =
+      if (!Files.isDirectory(schemasDir)) Nil
+      else graft.core.Fs.list(schemasDir).map(_.getFileName.toString)
+        .collect { case LocalSchemaName(n) => n.toInt }
+    (graft.core.SchemaRegistry.versions.keys ++ local).toSeq.distinct.sorted
+  }
+
+  /** Mint the next registry version from an evolved schema (add-column /
+    * widen-type only) and commit a metadata-only snapshot pointing at it.
+    * Existing data files keep their schemaId and align at read (null
+    * backfill / widen) — no data rewrite, exactly like a producer-driven
+    * version bump through MERGE.
+    */
+  def evolveSchema(newSchema: StructType): Snapshot = {
+    val s = currentSnapshot
+    val cur = registrySchemaFor(s.schemaId)
+    require(graft.core.SchemaRegistry.canEvolve(cur, newSchema),
+      s"illegal schema evolution (add-column / widen-type only): " +
+        s"${cur.simpleString} -> ${newSchema.simpleString}")
+    val newId = knownSchemaVersions.max + 1
+    Files.createDirectories(schemasDir)
+    // schema file lands before the snapshot referencing it; a crash in
+    // between leaves an orphan s<id>.json (harmless — the id was never
+    // committed and the next mint picks a fresh one)
+    Files.writeString(schemasDir.resolve(s"s$newId.json"), newSchema.json)
+    commit(s.copy(version = s.version + 1, schemaId = newId,
+      summary = LakeTable.inheritLineage(s.summary) ++
+        Map("schema-evolution" -> s"${s.schemaId}->$newId")))
   }
 
   /** Committed manifest versions present on disk (expiry leaves gaps). */

@@ -210,13 +210,13 @@ private[sql] object GraftWrites {
     val currentId = table.currentSnapshot.schemaId
     val meta = Set("lsn", "op", "schema_version")
     def fits(v: Int): Boolean = {
-      val reg = SchemaRegistry.schemaFor(v)
+      val reg = table.registrySchemaFor(v)
       batch.fields.filterNot(f => meta.contains(f.name)).forall { f =>
         reg.fields.find(_.name == f.name)
           .exists(r => Cast.canUpCast(f.dataType, r.dataType))
       }
     }
-    val v = SchemaRegistry.versions.keys.toSeq.sorted.find(fits)
+    val v = table.knownSchemaVersions.find(fits)
       .getOrElse(throw new IllegalArgumentException(
         s"source schema matches no registry version: ${batch.simpleString}"))
     math.max(v, currentId)
@@ -312,7 +312,7 @@ case class GraftInsertCommand(tableDir: String, source: LogicalPlan,
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val table = LakeTable.load(session, tableDir)
     val src = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
-    val target = SchemaRegistry.schemaFor(table.currentSnapshot.schemaId)
+    val target = table.registrySchemaFor(table.currentSnapshot.schemaId)
     val epoch = GraftWrites.allocatedEpoch(session, table)
     GraftWrites.applyAndLog(session, table,
       GraftWrites.toEvents(GraftWrites.alignInsert(src, target, byName), epoch),

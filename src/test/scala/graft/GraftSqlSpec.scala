@@ -280,6 +280,81 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN mints a persisted registry version; " +
+    "old-schema batches still merge and null-backfill") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqlevowh")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""CREATE TABLE graft.evo_pages (
+        |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+        |  text STRING, lang STRING, content_len BIGINT)
+        |TBLPROPERTIES ('buckets' = '2')""".stripMargin)
+      s.sql(mergeSql(s"$wh/evo_pages",
+        """SELECT 1L AS lsn, 'U' AS op, 'http://old' AS url,
+          |TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+          |CAST(NULL AS BINARY) AS html, 'old' AS text,
+          |'en' AS lang, 3L AS content_len""".stripMargin)).collect()
+
+      // the operational evolution act: no recompile, no data rewrite
+      s.sql("ALTER TABLE graft.evo_pages ADD COLUMN fetch_ms INT")
+      val t = graft.lake.LakeTable.load(s, s"$wh/evo_pages")
+      assert(t.currentSnapshot.schemaId == 4)
+      assert(t.knownSchemaVersions.contains(4))
+      assert(t.registrySchemaFor(4).fieldNames.contains("fetch_ms"))
+
+      // pre-ALTER rows read back null-backfilled through SQL
+      val old = s.sql("SELECT url, fetch_ms FROM graft.evo_pages").head()
+      assert(old.getString(0) == "http://old" && old.isNullAt(1))
+
+      // an OLD-schema (v3) producer batch merged AFTER the ALTER still
+      // applies through the engine path (the stream/CLI drivers) — the
+      // batch aligns to the minted v4 with fetch_ms null-backfilled. (The
+      // SQL MERGE spelling requires the source to name every target
+      // column — INSERT * is strict star expansion — so a SQL caller
+      // writes CAST(NULL AS INT) AS fetch_ms explicitly.)
+      import s.implicits._
+      val v3batch = Seq((2L, "U", "http://v3",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        null: Array[Byte], "from v3 producer", "de", 16L))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+      assert(graft.cdc.Merge.applyBatch(s, t, v3batch,
+        epoch = t.lastCommittedEpoch.map(_ + 1).getOrElse(0L),
+        batchSchemaVersion = 3).applied)
+      assert(graft.lake.LakeTable.load(s, s"$wh/evo_pages")
+        .currentSnapshot.schemaId == 4)
+
+      // a writer can populate the minted column via SQL INSERT
+      s.sql("""INSERT INTO graft.evo_pages (url, warc_ts, text, fetch_ms)
+        |VALUES ('http://new', TIMESTAMP '2024-01-03 00:00:00', 'new', 250)""".stripMargin)
+        .collect()
+      val rows = s.sql(
+        "SELECT url, fetch_ms FROM graft.evo_pages ORDER BY url")
+        .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      assert(rows.toSeq == Seq(("http://new", 250), ("http://old", -1), ("http://v3", -1)))
+
+      // type widening mints the next version; the INT-written file widens
+      // at read
+      s.sql("ALTER TABLE graft.evo_pages ALTER COLUMN fetch_ms TYPE BIGINT")
+      val t2 = graft.lake.LakeTable.load(s, s"$wh/evo_pages")
+      assert(t2.currentSnapshot.schemaId == 5)
+      assert(s.sql("SELECT fetch_ms FROM graft.evo_pages WHERE url = 'http://new'")
+        .head().getLong(0) == 250L)
+
+      // narrowing stays rejected (Spark's own analyzer guard fires first;
+      // our evolveSchema canEvolve check is the backstop for API callers)
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE graft.evo_pages ALTER COLUMN content_len TYPE INT")
+      }
+      assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN")
+        || e.getMessage.contains("evolution"))
+      val e2 = intercept[Exception] {
+        t2.evolveSchema(org.apache.spark.sql.types.StructType(
+          t2.registrySchemaFor(5).fields.filterNot(_.name == "lang")))
+      }
+      assert(e2.getMessage.contains("evolution"))
+    }
+  }
+
   test("SQL MERGE routes poison rows to the conf'd quarantine dir") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlq")
