@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — binary payload schema, metadata
   * struct, hash-partitioned batched processing, per-row and exploded
-  * shapes — but the codec itself is a STUB: no image/audio libraries ship
-  * in this container, so "pixels" are a deterministic fake (md5-derived
-  * bytes) that both engines can recompute. Swapping the fake for a real
-  * decoder is a one-function change in [[decodeFeatures]]; on a cluster
-  * that function would be a Pandas UDF / mapInPandas stage with the same
-  * schema and batch shape.
+  * shapes. Two codec branches exist:
+  *  - [[ImageCodec]] / `mm_decode_real`: a REAL PNG encode/decode via
+  *    javax.imageio (in the JDK) — exercised end to end with an exact
+  *    pixel-sum oracle and a roundtrip spec;
+  *  - [[decodeFeatures]]: the deterministic md5 STUB kept for the
+  *    payload-shaped queries whose oracle must recompute "pixels"
+  *    without any codec (no libjpeg/ffmpeg in DuckDB). On a cluster,
+  *    either branch is the body of a Pandas UDF / mapInPandas stage with
+  *    the same schema and batch shape.
   *
   * Payload wire format (deterministic from the documents table):
   * `IMG<w>x<h>:<body>` as UTF-8 bytes — a parseable header plus a body,
@@ -51,7 +54,91 @@ object MultimodalQueries {
         .cast("long") / lit(4294967296.0)))
   }
 
+  /** REAL codec branch of the swap-point (round-2 verdict #8): PNG
+    * encode/decode via javax.imageio — in the JDK, no external libs. The
+    * pixel CONTENT is a pure function of doc_id, so the DuckDB oracle can
+    * state the expected decoded pixel sums in closed form while the bytes
+    * on the wire are a genuine compressed PNG stream produced and parsed
+    * by a real codec. This is the per-row body a mapInPandas/JNI stage
+    * would run on a cluster — same batch shape (hash-clustered
+    * partitions), same signature (id → decoded features).
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    val Side = 8
+
+    def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+      ((id * 31 + x * 7 + y * 13) % 256).toInt,
+      ((id * 17 + x * 11 + y * 3) % 256).toInt,
+      ((id * 23 + x * 5 + y * 19) % 256).toInt)
+
+    def encodePng(id: Long): Array[Byte] = {
+      val img = new BufferedImage(Side, Side, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < Side) {
+        var x = 0
+        while (x < Side) {
+          val (r, g, b) = pixel(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PNG and sum the channels — the "feature extraction". */
+    def decodeSums(png: Array[Byte]): (Long, Long, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // REAL decode: synthesize a genuine PNG per document, decode it back
+    // through the same codec, emit pixel-derived features. PNG byte size
+    // is codec-implementation-specific so it stays OUT of the oracle'd
+    // columns; the decoded pixel sums are exact.
+    QueryDef(
+      "mm_decode_real",
+      (s, dir) => {
+        import s.implicits._
+        Tables.tblSpread(s, dir, "documents", "doc_id")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val png = ImageCodec.encodePng(id)
+              val (sr, sg, sb) = ImageCodec.decodeSums(png)
+              (id, sr, sg, sb)
+            }
+          }
+          .toDF("doc_id", "sum_r", "sum_g", "sum_b")
+      },
+      Some(s"""SELECT doc_id,
+              |  (SELECT sum((doc_id * 31 + x * 7 + y * 13) % 256)
+              |   FROM range(8) t1(x), range(8) t2(y)) AS sum_r,
+              |  (SELECT sum((doc_id * 17 + x * 11 + y * 3) % 256)
+              |   FROM range(8) t1(x), range(8) t2(y)) AS sum_g,
+              |  (SELECT sum((doc_id * 23 + x * 5 + y * 19) % 256)
+              |   FROM range(8) t1(x), range(8) t2(y)) AS sum_b
+              |FROM documents""".stripMargin)),
 
     // decode: header → dimensions; verify against the metadata struct
     QueryDef(
