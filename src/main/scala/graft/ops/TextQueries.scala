@@ -39,7 +39,9 @@ object TextQueries {
     QueryDef(
       "t2_quality_score",
       (s, dir) => {
-        val toks = split(col("text"), " ")
+        // \s+ tokenizer — unified with t1/t9/d2 so a user combining text
+        // ops gets ONE token count per document (round-2 verdict #9)
+        val toks = split(trim(col("text")), "\\s+")
         val en = TextQueries.stopwords("en")
         tbl(s, dir, "documents")
           .select(col("doc_id"),
@@ -52,9 +54,9 @@ object TextQueries {
       Some(s"""SELECT doc_id, length(text) AS len,
               |  round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
               |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-              |  round(len(list_filter(string_split(text, ' '),
+              |  round(len(list_filter(string_split_regex(trim(text), '\\s+'),
               |            t -> t IN (${TextQueries.stopwords("en").map("'" + _ + "'").mkString(",")})))
-              |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
+              |        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4) AS stopword_ratio
               |FROM documents""".stripMargin)),
 
     // corpus vocabulary top-k: explode tokens → hash-agg count → top 20
@@ -89,7 +91,8 @@ object TextQueries {
     QueryDef(
       "t4_lang_id",
       (s, dir) => {
-        val toks = split(lower(col("text")), " ")
+        // same unified \s+ tokenizer as t1/t2/t9/d2 (round-2 verdict #9)
+        val toks = split(trim(lower(col("text"))), "\\s+")
         val scored = tbl(s, dir, "documents")
           .select(col("doc_id") +: col("lang").as("true_lang") +:
             TextQueries.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
@@ -107,7 +110,7 @@ object TextQueries {
         val langs = TextQueries.stopwords.keys.toSeq.sorted
         val scores = langs.map { l =>
           val ws = TextQueries.stopwords(l).map("'" + _ + "'").mkString(",")
-          s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($ws))) AS sc_$l"
+          s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($ws))) AS sc_$l"
         }.mkString(",\n  ")
         val maxSc = s"greatest(${langs.map(l => s"sc_$l").mkString(",")})"
         val pred = langs.foldRight("'und'") { (l, acc) =>
