@@ -95,17 +95,35 @@ object Bench {
     // that steady-states at <1s). Same policy as the CDC warmup replay.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // a failed query must not masquerade as a fast one: report -1 (and
-    // say so on stderr) instead of its time-to-throw (round-2 review)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: " +
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+    // say so on stderr) instead of its time-to-throw (round-2 review).
+    // INTERLEAVED best-of-k reps (round-2 verdict #6): host noise here is
+    // additive slowdown, so the per-query MIN over rounds estimates the
+    // noise-free time (the seconds-side twin of the CDC max-of-throughput
+    // discipline), interleaving whole rounds keeps one noisy window from
+    // eating every rep of one query, and rounds 2+ shed the first-run
+    // codegen cost that made one-shot numbers drift run to run.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to queryReps).foreach { _ =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // keep the best SUCCESSFUL time; -1 only if every rep failed
+        best(name) = (best.get(name), sec) match {
+          case (Some(p), s) if p >= 0 && s >= 0 => math.min(p, s)
+          case (Some(p), s) => math.max(p, s)
+          case (None, s) => s
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = names.map(n => n -> best(n)).toMap
 
     // --- CDC log (generated once, excluded from timing). High-churn
     // realism: ~160 change events per url (10^10 events over ~10^8 pages),

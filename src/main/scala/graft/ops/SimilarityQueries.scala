@@ -513,6 +513,62 @@ object SimilarityQueries {
       })
 ,
 
+    // duplicate CLUSTERS: connected components over the d3 LSH candidate
+    // pairs — the step after pair generation in a real dedup pipeline
+    // (keep ONE canonical doc per cluster, not per pair). Min-label
+    // propagation to fixpoint: each iteration is one shuffle join; LSH
+    // band clusters are near-cliques (diameter ~2), so it converges in
+    // 2-3 rounds, and the driver-side work per round is ONE convergence
+    // count — no .collect() of data. At 10^10 docs this is exactly the
+    // alternating-min connected-components plan (no graph library).
+    QueryDef(
+      "d8_dup_clusters",
+      (s, dir) => {
+        val pairs = lshCandidatePairs(s, dir) // materialized, reliable
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        try {
+          val nodes = edges.select(col("src").as("doc_id")).distinct()
+          var labels = nodes.withColumn("label", col("doc_id")).persist()
+          var converged = false
+          var iter = 0
+          while (!converged && iter < 10) {
+            val viaEdges = edges
+              .join(labels.withColumnRenamed("doc_id", "src"), "src")
+              .groupBy(col("dst").as("doc_id"))
+              .agg(min("label").as("nl"))
+            val next = labels.join(viaEdges, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+              .persist()
+            val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+              .filter(col("label") =!= col("old")).limit(1).count()
+            labels.unpersist()
+            labels = next
+            converged = changed == 0
+            iter += 1
+          }
+          labels.groupBy("label")
+            .agg(collect_list("doc_id").as("members"))
+            .select(explode(col("members")).as("doc_id"),
+              col("label").as("cluster_id"), size(col("members")).as("cluster_size"))
+        } finally edges.unpersist()
+      },
+      Some(s"""$bandsSqlCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              |          UNION ALL SELECT doc_b, doc_a FROM cand),
+              |reach AS (
+              |  SELECT src AS a, dst AS b FROM edges
+              |  UNION
+              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              |labels AS (
+              |  SELECT a AS doc_id, least(min(b), a) AS cluster_id
+              |  FROM reach GROUP BY a)
+              |SELECT doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              |FROM labels""".stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // IVF ANN (the coarse-quantizer scale path): deterministic centroids
     // (every 50th vector), assign each vector to its nearest centroid
     // (broadcast join — no shuffle of the vector side), then search the

@@ -76,6 +76,41 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin)),
 
+    // repetition ratio (Gopher-style quality signal): fraction of word
+    // 2-grams that are repeats of an earlier 2-gram in the same document
+    // — high values flag boilerplate/spam for training-data filtering.
+    // Pure expressions over a materialized token array (interpreted-HOF
+    // discipline), no shuffle.
+    QueryDef(
+      "t10_repetition_ratio",
+      (s, dir) =>
+        Tables.tblSpread(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"),
+            when(size(col("toks")) >= 2,
+              transform(sequence(lit(0), size(col("toks")) - 2), i =>
+                concat_ws(" ", element_at(col("toks"), i + 1),
+                  element_at(col("toks"), i + 2))))
+              .otherwise(array().cast("array<string>")).as("bigrams"))
+          .select(col("doc_id"),
+            size(col("bigrams")).as("n_bigrams"),
+            when(size(col("bigrams")) > 0,
+              round(lit(1.0) - size(array_distinct(col("bigrams")))
+                / size(col("bigrams")).cast("double"), 4))
+              .otherwise(lit(0.0)).as("repetition_ratio")),
+      Some("""SELECT doc_id, len(bigrams) AS n_bigrams,
+             |  CASE WHEN len(bigrams) > 0
+             |       THEN round(1.0 - len(list_distinct(bigrams))
+             |                  / CAST(len(bigrams) AS DOUBLE), 4)
+             |       ELSE 0.0 END AS repetition_ratio
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 2
+             |         THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+             |         ELSE [] END AS bigrams
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |        FROM documents))""".stripMargin)),
+
     // document fingerprinting: md5 over whitespace-normalized lowercase text
     QueryDef(
       "t3_fingerprint",
