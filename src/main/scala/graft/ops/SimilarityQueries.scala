@@ -120,7 +120,10 @@ object SimilarityQueries {
     * (shared storage under spark-submit; java.io.tmpdir locally) — and
     * survives executor loss. Only ever applied to O(near-dups)-sized
     * sets, so the write-through cost is bounded by the result, not the
-    * input.
+    * input. Checkpoint files live until JVM exit (scratch-dir hook); a
+    * long-lived driver that runs these queries repeatedly should build
+    * its session with spark.cleaner.referenceTracking.cleanCheckpoints=
+    * true so collected RDDs release their checkpoint files eagerly.
     */
   private def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
