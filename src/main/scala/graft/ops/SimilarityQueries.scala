@@ -552,10 +552,15 @@ object SimilarityQueries {
             converged = changed == 0
             iter += 1
           }
-          labels.groupBy("label")
-            .agg(collect_list("doc_id").as("members"))
-            .select(explode(col("members")).as("doc_id"),
-              col("label").as("cluster_id"), size(col("members")).as("cluster_size"))
+          // materialize the (small) cluster table reliably, then release
+          // the label cache — the returned plan must not depend on it
+          // (same discipline as the d3/d5 pair sets)
+          try materialize(
+            labels.groupBy("label")
+              .agg(collect_list("doc_id").as("members"))
+              .select(explode(col("members")).as("doc_id"),
+                col("label").as("cluster_id"), size(col("members")).as("cluster_size")))
+          finally labels.unpersist()
         } finally edges.unpersist()
       },
       Some(s"""$bandsSqlCtes,
