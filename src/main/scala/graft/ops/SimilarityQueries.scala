@@ -516,6 +516,65 @@ object SimilarityQueries {
       })
 ,
 
+    // cross-document LINE dedup (the C4/RefinedWeb "remove duplicated
+    // lines across documents" step): segment each document into
+    // non-overlapping 3-token chunks, find each chunk's corpus-wide FIRST
+    // occurrence, report per-document how much of it is first-seen vs
+    // duplicated. The first-occurrence pass is a combine-based
+    // min(struct(doc_id, pos)) hash-agg on the chunk — skew-IMMUNE: a
+    // boilerplate chunk repeated 10^6 times pre-combines per task, where
+    // the naive row_number window over (partition by chunk) would sort
+    // the hot chunk's copies in one partition. Per-doc counts then come
+    // from the (distinct-chunk-sized) firsts set alone — no join back to
+    // the exploded rows.
+    QueryDef(
+      "d9_line_dedup",
+      (s, dir) => {
+        val toks = Tables.tblSpread(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .withColumn("nc", expr("size(toks) div 3"))
+          .filter(col("nc") >= 1)
+        val chunks = toks
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("nc") - 1), i =>
+              concat_ws(" ", element_at(col("toks"), (i * 3 + 1).cast("int")),
+                element_at(col("toks"), (i * 3 + 2).cast("int")),
+                element_at(col("toks"), (i * 3 + 3).cast("int"))))).as(Seq("pos", "chunk")))
+        val firstsPerDoc = chunks
+          .groupBy("chunk")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+          .groupBy(col("f.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_first"))
+        chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(firstsPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            round(lit(1.0) - coalesce(col("n_first"), lit(0L))
+              / col("n_chunks").cast("double"), 4).as("dup_frac"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos,
+             |         unnest(cs) AS chunk
+             |  FROM (SELECT doc_id,
+             |          [toks[3*i+1] || ' ' || toks[3*i+2] || ' ' || toks[3*i+3]
+             |           FOR i IN range(0, len(toks) // 3)] AS cs
+             |        FROM toks WHERE len(toks) // 3 >= 1)),
+             |firsts AS (
+             |  SELECT chunk, doc_id, pos,
+             |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+             |  FROM chunks),
+             |per_first AS (
+             |  SELECT doc_id, count(*) AS n_first FROM firsts WHERE rn = 1 GROUP BY doc_id)
+             |SELECT c.doc_id, count(*) AS n_chunks,
+             |       coalesce(any_value(f.n_first), 0) AS n_first,
+             |       round(1.0 - coalesce(any_value(f.n_first), 0)
+             |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+             |FROM chunks c LEFT JOIN per_first f ON c.doc_id = f.doc_id
+             |GROUP BY c.doc_id""".stripMargin)),
+
     // duplicate CLUSTERS: connected components over the d3 LSH candidate
     // pairs — the step after pair generation in a real dedup pipeline
     // (keep ONE canonical doc per cluster, not per pair). Min-label
