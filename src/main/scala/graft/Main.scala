@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *                                                 --follow --interval 5 [--duration-sec 3600]
   *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
   *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
+  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
@@ -95,11 +96,24 @@ object Main {
         Seq(s"expired $n snapshots")
       case "gc" =>
         Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table))} files")
+      case "changes" =>
+        // CDC OUT: emit the changelog a downstream replica applies to move
+        // from snapshot --from to --to (defaults: last commit's delta)
+        val t = LakeTable.load(spark, table)
+        val to = opts.get("to").map(_.toInt).getOrElse(t.currentVersion)
+        val from = opts.get("from").map(_.toInt).getOrElse(math.max(0, to - 1))
+        val df = t.changesBetween(from, to)
+        opts.get("out").foreach(o => df.write.mode("overwrite").parquet(o))
+        val byOp = df.groupBy("_op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Seq(s"changes $from->$to upserts=${byOp.getOrElse("U", 0L)} " +
+          s"deletes=${byOp.getOrElse("D", 0L)}" +
+          opts.get("out").map(o => s" written=$o").getOrElse(""))
       case "show" =>
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|compact|expire|gc|show)")
+          "(create|tail|replay|merge|changes|compact|expire|gc|show)")
     }
   }
 

@@ -251,6 +251,49 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       }.reduce(_ unionByName _)
   }
 
+  /** Incremental read — the CDC *output* side (Iceberg-style changelog):
+    * the per-key change set a downstream replica applies to move from
+    * snapshot `from` to snapshot `to`. Rows are `to`'s state of every key
+    * whose (url, _lsn) changed in the range: `_op = 'U'` rows are
+    * upserts, `_op = 'D'` rows are delete events (tombstones written in
+    * the range). Unchanged keys never appear.
+    *
+    * Scale shape: changed-bucket detection is metadata-only — manifest
+    * refs carried by REFERENCE between the snapshots are identical by
+    * path, so only differing bucket groups load their manifests, and only
+    * buckets whose file sets differ are read on either side. The diff
+    * itself is one left-anti join on (url, _lsn): LSNs uniquely version a
+    * key, so a compaction that rewrote files without changing rows yields
+    * zero change rows (file-level false positives cost read, never
+    * correctness). Valid while the range's tombstones are retained
+    * (i.e. no purge-tombstones compaction inside the range — same
+    * contract as Iceberg's changelog requiring unexpired snapshots).
+    */
+  def changesBetween(from: Int, to: Int): DataFrame = {
+    require(from <= to, s"changesBetween: from=$from > to=$to")
+    val a = snapshot(from)
+    val b = snapshot(to)
+    val aRefs = a.manifests.map(m => m.group -> m.path).toMap
+    val bRefs = b.manifests.map(m => m.group -> m.path).toMap
+    val changedGroups = (aRefs.keySet ++ bRefs.keySet)
+      .filter(g => aRefs.get(g) != bRefs.get(g))
+    def sideFiles(s: Snapshot): Seq[DataFile] =
+      s.inline ++ LakeTable.loadManifests(
+        s.manifests.filter(m => changedGroups.contains(m.group)))
+    val aByBucket = sideFiles(a).groupBy(_.bucket).view
+      .mapValues(_.map(_.path).toSet).toMap
+    val bByBucket = sideFiles(b).groupBy(_.bucket).view
+      .mapValues(_.map(_.path).toSet).toMap
+    val changedBuckets = (aByBucket.keySet ++ bByBucket.keySet)
+      .filter(k => aByBucket.get(k) != bByBucket.get(k))
+    val after = readBuckets(b, changedBuckets)
+    if (from == to || changedBuckets.isEmpty) return after.limit(0)
+    val before = readBuckets(a, changedBuckets)
+      .select(col("url"), col(graft.core.Schemas.LsnCol))
+    after.join(before, Seq("url", graft.core.Schemas.LsnCol), "left_anti")
+      .select(after.columns.map(col).toSeq: _*)
+  }
+
   /** Allocate a fresh commit directory for a writer (phase 1 of 2PC). */
   def newCommitDir(epoch: Long): String = {
     val p = dataDir.resolve(s"c$epoch-${java.util.UUID.randomUUID().toString.take(8)}")

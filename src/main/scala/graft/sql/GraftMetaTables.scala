@@ -19,7 +19,7 @@ import scala.jdk.CollectionConverters._
 object GraftMetaTables {
 
   val kinds: Set[String] =
-    Set("history", "files", "manifests", "metrics", "partitions")
+    Set("history", "files", "manifests", "metrics", "partitions", "changes")
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -81,6 +81,17 @@ object GraftMetaTables {
       pinVersion: Option[Int]): DataFrame = {
     val lake = LakeTable.load(spark, dir)
     def snap = pinVersion.map(lake.snapshot).getOrElse(lake.currentSnapshot)
+    // $changes is the one DATA-sized metadata view: a DISTRIBUTED
+    // changelog plan (Iceberg-style incremental read), not a driver-built
+    // local relation. `VERSION AS OF n` pins the `to` side; the `from`
+    // side comes from the graft.changes.from conf (default: to - 1, the
+    // last commit's delta).
+    if (kind == "changes") {
+      val to = pinVersion.getOrElse(lake.currentVersion)
+      val from = spark.conf.getOption("graft.changes.from").map(_.toInt)
+        .getOrElse(math.max(0, to - 1))
+      return lake.changesBetween(from, to)
+    }
     val rows: Seq[Row] = kind match {
       case "history" =>
         lake.existingVersions.map(lake.snapshot).map { s =>
@@ -115,7 +126,14 @@ object GraftMetaTables {
 final case class GraftMetaTable(dir: String, kind: String,
     pinVersion: Option[Int] = None) extends Table {
   override def name(): String = s"$dir$$$kind"
-  override def schema(): StructType = GraftMetaTables.schemaFor(kind)
+  override def schema(): StructType =
+    if (kind == "changes") {
+      // changelog rows carry the TABLE's schema (+ _lsn/_op), pinned to
+      // the `to` snapshot's registry version
+      val lake = LakeTable.load(SparkSession.active, dir)
+      lake.schemaFor(pinVersion.map(lake.snapshot(_).schemaId)
+        .getOrElse(lake.currentSnapshot.schemaId))
+    } else GraftMetaTables.schemaFor(kind)
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
   override def properties(): util.Map[String, String] =

@@ -144,6 +144,20 @@ class GraftSqlSpec extends AnyFunSuite {
       // VERSION AS OF pins $files to the snapshot (v0 = empty table)
       assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files` VERSION AS OF 0")
         .head().getLong(0) == 0L)
+
+      // $changes: the DISTRIBUTED changelog view (CDC out). Default range
+      // = last commit's delta; VERSION AS OF pins `to`, graft.changes.from
+      // pins `from`
+      val ch = s.sql(s"SELECT url, _op, _lsn FROM graft.`$dir$$changes`")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(ch == Set(("http://a", "U", 1L), ("http://b", "U", 2L)))
+      s.conf.set("graft.changes.from", "0")
+      try {
+        assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$changes` VERSION AS OF 1")
+          .head().getLong(0) == 2L)
+        assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$changes` VERSION AS OF 0")
+          .head().getLong(0) == 0L)
+      } finally s.conf.unset("graft.changes.from")
     }
   }
 
