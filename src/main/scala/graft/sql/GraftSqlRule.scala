@@ -226,13 +226,32 @@ private[sql] object GraftWrites {
     session.conf.getOption("graft.merge.epoch").map(_.toLong)
       .getOrElse(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
 
+  /** True iff the caller pinned the epoch via conf (replay semantics —
+    * a gated no-op is then the CORRECT outcome, never retried).
+    */
+  def epochPinned(session: SparkSession): Boolean =
+    session.conf.getOption("graft.merge.epoch").isDefined
+
   def applyAndLog(session: SparkSession, table: LakeTable,
       batch: org.apache.spark.sql.DataFrame, epoch: Long): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val v = inferSchemaVersion(table, batch.schema)
-    val s = Merge.applyBatch(classic, table, batch, epoch, batchSchemaVersion = v,
+    def once(e: Long) = Merge.applyBatch(classic, table, batch, e,
+      batchSchemaVersion = v,
       // session-conf knobs, same surface the CLI exposes as flags
       quarantineDir = session.conf.getOption("graft.merge.quarantineDir"))
+    var s = once(epoch)
+    // auto-allocated epochs race concurrent committers: if another write
+    // committed our allocated epoch between allocation and the gate
+    // check, the gate reports !applied and the statement would be
+    // SILENTLY swallowed. Distinguish that from a genuinely-empty batch
+    // (which never advances the gate) and re-allocate, bounded.
+    var retries = 0
+    while (!s.applied && !epochPinned(session) && retries < 5 &&
+        table.lastCommittedEpoch.exists(_ >= s.epoch)) {
+      retries += 1
+      s = once(table.lastCommittedEpoch.get + 1L)
+    }
     // same lineage sink as the stream drivers — SQL writes show up in
     // the $metrics metadata table too
     if (s.applied) graft.cdc.Metrics.append(table.dir, s)
