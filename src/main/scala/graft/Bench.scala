@@ -102,7 +102,7 @@ object Bench {
     // discipline), interleaving whole rounds keeps one noisy window from
     // eating every rep of one query, and rounds 2+ shed the first-run
     // codegen cost that made one-shot numbers drift run to run.
-    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
     (1 to queryReps).foreach { _ =>

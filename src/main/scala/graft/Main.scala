@@ -104,7 +104,10 @@ object Main {
         val from = opts.get("from").map(_.toInt).getOrElse(math.max(0, to - 1))
         val df = t.changesBetween(from, to)
         opts.get("out").foreach(o => df.write.mode("overwrite").parquet(o))
-        val byOp = df.groupBy("_op").count().collect()
+        // count from the materialized export when one was written — the
+        // changelog plan is data-sized and must not execute twice
+        val counted = opts.get("out").map(spark.read.parquet(_)).getOrElse(df)
+        val byOp = counted.groupBy("_op").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         Seq(s"changes $from->$to upserts=${byOp.getOrElse("U", 0L)} " +
           s"deletes=${byOp.getOrElse("D", 0L)}" +

@@ -250,8 +250,12 @@ object Merge {
           // epoch would re-append identical poison rows and double-count
           // the dead-letter table. Overwriting this epoch's partition
           // makes the replay idempotent (round-2 advice); readers see one
-          // partitioned dataset with `epoch` as a discovered column.
-          q.write.mode("overwrite").parquet(s"$qd/epoch=$epoch")
+          // partitioned dataset with `gate`/`epoch` as discovered columns.
+          // The gate NAMESPACE is part of the key: epochs are only unique
+          // per driver namespace, so a stream batchId and a SQL-allocated
+          // epoch with the same number must not overwrite each other's
+          // dead letters (round-3 review).
+          q.write.mode("overwrite").parquet(s"$qd/gate=$gateKey/epoch=$epoch")
           // count from footers of what we just appended is ambiguous across
           // batches; count the (tiny, now cached) poison set directly
           q.count()

@@ -163,12 +163,25 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     require(graft.core.SchemaRegistry.canEvolve(cur, newSchema),
       s"illegal schema evolution (add-column / widen-type only): " +
         s"${cur.simpleString} -> ${newSchema.simpleString}")
-    val newId = knownSchemaVersions.max + 1
     Files.createDirectories(schemasDir)
     // schema file lands before the snapshot referencing it; a crash in
     // between leaves an orphan s<id>.json (harmless — the id was never
-    // committed and the next mint picks a fresh one)
-    Files.writeString(schemasDir.resolve(s"s$newId.json"), newSchema.json)
+    // committed and the next mint skips past it). CREATE_NEW makes the id
+    // claim atomic: a concurrent mint that raced to the same id would
+    // otherwise overwrite the file AFTER the rival committed a snapshot
+    // referencing it — the committed schema silently swapping out from
+    // under the table (round-3 review). On EEXIST we re-pick.
+    var newId = knownSchemaVersions.max + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.writeString(schemasDir.resolve(s"s$newId.json"), newSchema.json,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => newId += 1
+      }
+    }
     commit(s.copy(version = s.version + 1, schemaId = newId,
       summary = LakeTable.inheritLineage(s.summary) ++
         Map("schema-evolution" -> s"${s.schemaId}->$newId")))

@@ -595,7 +595,12 @@ object SimilarityQueries {
           var labels = nodes.withColumn("label", col("doc_id")).persist()
           var converged = false
           var iter = 0
-          while (!converged && iter < 10) {
+          // hard cap = error, never silently-wrong labels: a component
+          // with eccentricity > 64 from its min node would exit a softer
+          // cap with fragmented clusters and no warning (round-3 review).
+          // LSH band components are near-cliques, so real convergence is
+          // 2-3 rounds; 64 is a pathological-chain allowance.
+          while (!converged && iter < 64) {
             val viaEdges = edges
               .join(labels.withColumnRenamed("doc_id", "src"), "src")
               .groupBy(col("dst").as("doc_id"))
@@ -604,13 +609,19 @@ object SimilarityQueries {
               .select(col("doc_id"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
               .persist()
+            // FULL count, not limit(1): the convergence job must
+            // materialize every partition of `next` before the parent
+            // cache is dropped, or later iterations recompute the whole
+            // propagation chain through partially-cached frames
             val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-              .filter(col("label") =!= col("old")).limit(1).count()
+              .filter(col("label") =!= col("old")).count()
             labels.unpersist()
             labels = next
             converged = changed == 0
             iter += 1
           }
+          require(converged,
+            s"d8_dup_clusters: label propagation not converged after $iter rounds")
           // materialize the (small) cluster table reliably, then release
           // the label cache — the returned plan must not depend on it
           // (same discipline as the d3/d5 pair sets)

@@ -232,26 +232,51 @@ private[sql] object GraftWrites {
   def epochPinned(session: SparkSession): Boolean =
     session.conf.getOption("graft.merge.epoch").isDefined
 
+  /** Apply an epoch-parameterized batch with lineage logging. `mkBatch`
+    * is a FUNCTION of the epoch (not a frozen frame) because the INSERT
+    * path bands its synthetic LSNs by epoch — a retry that re-committed
+    * the original epoch's LSNs under a new epoch would collide with the
+    * winning committer's band and break the (url, _lsn) uniqueness the
+    * changelog relies on.
+    */
   def applyAndLog(session: SparkSession, table: LakeTable,
-      batch: org.apache.spark.sql.DataFrame, epoch: Long): Seq[Row] = {
+      mkBatch: Long => org.apache.spark.sql.DataFrame, epoch: Long): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val v = inferSchemaVersion(table, batch.schema)
-    def once(e: Long) = Merge.applyBatch(classic, table, batch, e,
-      batchSchemaVersion = v,
-      // session-conf knobs, same surface the CLI exposes as flags
-      quarantineDir = session.conf.getOption("graft.merge.quarantineDir"))
-    var s = once(epoch)
-    // auto-allocated epochs race concurrent committers: if another write
-    // committed our allocated epoch between allocation and the gate
-    // check, the gate reports !applied and the statement would be
-    // SILENTLY swallowed. Distinguish that from a genuinely-empty batch
-    // (which never advances the gate) and re-allocate, bounded.
+    def once(e: Long): scala.Either[Throwable, graft.cdc.MergeStats] =
+      try {
+        val batch = mkBatch(e)
+        scala.Right(Merge.applyBatch(classic, table, batch, e,
+          batchSchemaVersion = inferSchemaVersion(table, batch.schema),
+          // session-conf knobs, same surface the CLI exposes as flags
+          quarantineDir = session.conf.getOption("graft.merge.quarantineDir")))
+      } catch {
+        // loser of a mid-merge commit race: the commit dir is abandoned
+        // (gc collects it) and the merge is safely re-runnable
+        case e: IllegalStateException
+          if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+          scala.Left(e)
+      }
+    // auto-allocated epochs race concurrent committers in two windows:
+    // (a) the rival committed our epoch BEFORE the gate check — the gate
+    // reports !applied and the statement would be SILENTLY swallowed;
+    // (b) the rival committed DURING our merge — commit() loses with
+    // "concurrent commit lost". Both re-allocate against the advanced
+    // high-water, bounded. A genuinely-empty batch (which never advances
+    // the gate) is excluded. Conf-pinned epochs keep strict replay
+    // semantics: a gated no-op is the correct outcome, and a commit race
+    // surfaces as the error it is.
+    var attempt = once(epoch)
     var retries = 0
-    while (!s.applied && !epochPinned(session) && retries < 5 &&
-        table.lastCommittedEpoch.exists(_ >= s.epoch)) {
+    def gateSwallowed(r: scala.Either[Throwable, graft.cdc.MergeStats]): Boolean =
+      r match {
+        case scala.Right(s) => !s.applied && table.lastCommittedEpoch.exists(_ >= s.epoch)
+        case scala.Left(_) => true
+      }
+    while (gateSwallowed(attempt) && !epochPinned(session) && retries < 5) {
       retries += 1
-      s = once(table.lastCommittedEpoch.get + 1L)
+      attempt = once(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     }
+    val s = attempt.fold(e => throw e, identity)
     // same lineage sink as the stream drivers — SQL writes show up in
     // the $metrics metadata table too
     if (s.applied) graft.cdc.Metrics.append(table.dir, s)
@@ -265,10 +290,19 @@ private[sql] object GraftWrites {
     * older table rows, which is what "append" should mean. An imperative
     * INSERT is not a replayed binlog, so lineage-stable numbering (the W4
     * discipline) is deliberately NOT paid here.
+    *
+    * monotonically_increasing_id = (partitionId << 33) + rowIdx, so a
+    * source with ≥ 2^11 partitions would mint ids ≥ 2^44 and bleed into
+    * the NEXT epoch's band; the coalesce caps the partition id without a
+    * shuffle (an imperative INSERT's write parallelism, not the binlog
+    * path).
     */
   def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    userRows
+    val capped =
+      if (userRows.rdd.getNumPartitions > 2047) userRows.coalesce(2047)
+      else userRows
+    capped
       .withColumn("op", lit("U"))
       .withColumn("lsn", lit((epoch + 1) * (1L << 44)) + monotonically_increasing_id())
   }
@@ -305,7 +339,7 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan)
     val table = LakeTable.load(session, tableDir)
     val batch = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
     GraftWrites.applyAndLog(session, table,
-      batch, GraftWrites.allocatedEpoch(session, table))
+      _ => batch, GraftWrites.allocatedEpoch(session, table))
   }
 }
 
@@ -332,10 +366,10 @@ case class GraftInsertCommand(tableDir: String, source: LogicalPlan,
     val table = LakeTable.load(session, tableDir)
     val src = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
     val target = table.registrySchemaFor(table.currentSnapshot.schemaId)
-    val epoch = GraftWrites.allocatedEpoch(session, table)
+    val aligned = GraftWrites.alignInsert(src, target, byName)
     GraftWrites.applyAndLog(session, table,
-      GraftWrites.toEvents(GraftWrites.alignInsert(src, target, byName), epoch),
-      epoch)
+      e => GraftWrites.toEvents(aligned, e),
+      GraftWrites.allocatedEpoch(session, table))
   }
 }
 
@@ -365,8 +399,8 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     val created = catalog.createTable(ident, src.schema,
       Array.empty[Transform], properties.asJava).asInstanceOf[GraftTable]
     val table = LakeTable.load(session, created.dir)
-    val epoch = GraftWrites.allocatedEpoch(session, table)
     GraftWrites.applyAndLog(session, table,
-      GraftWrites.toEvents(src, epoch), epoch)
+      e => GraftWrites.toEvents(src, e),
+      GraftWrites.allocatedEpoch(session, table))
   }
 }

@@ -95,15 +95,23 @@ object StreamOps {
       .flatMapGroupsWithState[UrlState, UrlStats](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (url: String, evs: Iterator[Ev], state: GroupState[UrlState]) =>
-          var s = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L))
-          // deterministic in-batch order: the source may deliver a batch's
-          // rows in any partition order, so fold in (ts, lsn) order
-          evs.toSeq.sortBy(e => (e.tsMs, e.lsn)).foreach { e =>
-            val ooo = if (e.tsMs < s.lastTsMs) 1L else 0L
-            s = UrlState(s.nEvents + 1,
-              math.max(s.lastTsMs, e.tsMs), math.max(s.lastLsn, e.lsn),
-              s.outOfOrder + ooo)
+          // SINGLE-PASS fold, streaming through the iterator: an event is
+          // out-of-order iff it precedes the chain head AS OF BATCH START
+          // (provably what a sorted in-batch fold counts too — a sorted
+          // event can only precede the running head via the old head — so
+          // this is both order-independent/deterministic AND O(1) memory;
+          // materializing a hot url's whole batch to sort it would OOM
+          // under the zipf skew this engine is built for, round-3 review)
+          val s0 = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L))
+          var n = s0.nEvents; var maxTs = s0.lastTsMs
+          var maxLsn = s0.lastLsn; var ooo = s0.outOfOrder
+          evs.foreach { e =>
+            n += 1
+            if (e.tsMs < s0.lastTsMs) ooo += 1
+            if (e.tsMs > maxTs) maxTs = e.tsMs
+            if (e.lsn > maxLsn) maxLsn = e.lsn
           }
+          val s = UrlState(n, maxTs, maxLsn, ooo)
           state.update(s)
           Iterator(UrlStats(url, s.nEvents, s.lastLsn, s.outOfOrder))
       }
