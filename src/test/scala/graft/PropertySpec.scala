@@ -84,6 +84,47 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: applying changesBetween(i, j) to a mirror of snapshot i " +
+    "reproduces snapshot j (changelog replica convergence)") {
+    checkProp(Prop.forAll(evGen, Gen.choose(2, 4)) { (evs: List[Ev], nSplits: Int) =>
+      evs.size < nSplits || {
+        val dir = TestSpark.tempDir("prop-ch")
+        val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+        val bounds = (0 to nSplits).map(i => evs.size * i / nSplits)
+        bounds.zip(bounds.tail).zipWithIndex.foreach {
+          case ((lo, hi), epoch) if hi > lo =>
+            Merge.applyBatch(spark, t, toDf(evs.slice(lo, hi)), epoch.toLong, 3)
+          case _ =>
+        }
+        def liveState(d: LakeTable, v: Int) =
+          d.read(d.snapshot(v)).filter(col("_op") =!= "D")
+            .select("url", "_lsn", "text").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        val vMax = t.currentVersion
+        // ranges (i, i) and (i, vMax) for every i: identity plus every
+        // suffix (the full (i, j) lattice costs quadratic Spark jobs for
+        // no extra lattice structure — changesBetween only ever sees two
+        // endpoint snapshots)
+        (0 to vMax).forall { i =>
+          Seq(i, vMax).distinct.forall { j =>
+            val m = LakeTable.create(spark,
+              TestSpark.tempDir(s"prop-ch-m$i-$j"), schemaId = 3, numBuckets = 4)
+            // seed = snapshot i as one upsert batch (tombstones dropped —
+            // a fresh mirror has nothing to delete)
+            val seed = t.read(t.snapshot(i)).filter(col("_op") =!= "D")
+              .withColumnRenamed("_lsn", "lsn").withColumn("op", lit("U"))
+              .drop("_op")
+            if (seed.count() > 0) Merge.applyBatch(spark, m, seed, 0, 3)
+            val feed = t.changesBetween(i, j)
+              .withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
+            if (feed.count() > 0) Merge.applyBatch(spark, m, feed, 1, 3)
+            liveState(m, m.currentVersion) == liveState(t, j)
+          }
+        }
+      }
+    })
+  }
+
   test("property: re-applying ANY committed prefix is a no-op (idempotency)") {
     checkProp(Prop.forAll(evGen) { (evs: List[Ev]) =>
       evs.size < 2 || {
