@@ -211,6 +211,58 @@ object MultimodalQueries {
              |    || ':' || substr(text, 1, 64)) AS new_bytes
              |FROM documents""".stripMargin)),
 
+    // audio feature extraction: windowed RMS over PCM samples — the
+    // audio leg of the multimodal trio (image = mm_decode_real,
+    // video = mm_frame_sample). Samples are the deterministic decode-stub
+    // output (md5-derived, both engines recompute them — the real-codec
+    // swap-point is the same mapInPandas-shaped stage mm_decode_real
+    // exercises with PNG); the windowing/RMS plumbing — materialized
+    // sample array, slice per window, posexplode, aggregate — is the
+    // real Spark shape of an audio featurizer at scale.
+    QueryDef(
+      "mm_audio_rms",
+      (s, dir) => {
+        val nSamples = 256
+        val winLen = 64
+        def h32(c: Column): Column =
+          graft.functions.Md5Prefix32.md5_prefix32(c)
+        val sampled = Tables.tblSpread(s, dir, "documents", "doc_id")
+          // samples materialized in their OWN projection: the window
+          // slices below reference the array repeatedly inside
+          // interpreted HOFs (no CSE — re-deriving 256 md5s per
+          // reference would multiply the work by the window count)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(nSamples - 1)), i =>
+              h32(concat(col("doc_id").cast("string"), lit("_"),
+                i.cast("string"))) / lit(2147483648.0) - lit(1.0)).as("pcm"))
+        sampled
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(nSamples / winLen - 1)),
+              w => slice(col("pcm"), w * winLen + 1, lit(winLen))))
+              .as(Seq("window_no", "w")))
+          .select(col("doc_id"), col("window_no"),
+            round(sqrt(aggregate(col("w"), lit(0.0), (acc, x) => acc + x * x)
+              / lit(winLen.toDouble)), 4).as("rms"))
+      },
+      Some {
+        val h = (e: String) =>
+          s"""CAST(((md5_number_upper($e) & 255) << 24)
+             | | (((md5_number_upper($e) >> 8) & 255) << 16)
+             | | (((md5_number_upper($e) >> 16) & 255) << 8)
+             | | ((md5_number_upper($e) >> 24) & 255) AS BIGINT)""".stripMargin.replace("\n", " ")
+        s"""WITH pcm AS (
+           |  SELECT doc_id,
+           |         [${h("CAST(doc_id AS VARCHAR) || '_' || (i - 1)")} / 2147483648.0 - 1.0
+           |          FOR i IN range(1, 257)] AS pcm
+           |  FROM documents),
+           |wins AS (
+           |  SELECT doc_id, w AS window_no, list_slice(pcm, w * 64 + 1, w * 64 + 64) AS ws
+           |  FROM pcm, (SELECT unnest(range(0, 4)) AS w))
+           |SELECT doc_id, CAST(window_no AS INTEGER) AS window_no,
+           |       round(sqrt(list_sum(list_transform(ws, x -> x * x)) / 64.0), 4) AS rms
+           |FROM wins""".stripMargin
+      }),
+
     // frame sampling: "video" = delimited frame payloads; posexplode +
     // every-k-th filter (the frame-sample stage of a video pipeline)
     QueryDef(
