@@ -35,6 +35,24 @@ object Bench {
     s
   }
 
+  /** Calm-window gate (round-2 verdict #6): external load bursts on this
+    * host halve single runs (documented in BASELINE.md), and the 1-min
+    * loadavg sees them. Wait — bounded, so the bench always completes —
+    * for the load to decay below `threshold` before starting a timed
+    * phase. Also absorbs our own just-finished query phase's load tail.
+    */
+  private def awaitCalm(maxWaitSec: Int, threshold: Double = 2.0): Unit = {
+    def load: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = load
+    while (l > threshold && System.nanoTime() < deadline) {
+      Thread.sleep(15000); l = load
+    }
+    System.err.println(f"[bench] loadavg $l%.2f at timed-phase start")
+  }
+
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -163,6 +181,11 @@ object Bench {
     // variance — a 5th interleaved pair measurably tightens the N→4N
     // ratio for ~95 s of extra wall
     val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "5").toInt
+    // calm gate ONCE before the CDC phase: absorbs the query phase's own
+    // load tail plus any external burst. No per-pair gating — between
+    // pairs the 1-min loadavg is dominated by our own just-exited child,
+    // and the interleaved max-of-reps already absorbs per-pair noise.
+    awaitCalm(maxWaitSec = 480)
     val pairs = (1 to reps).map { _ =>
       (cdcRunForked(lo, logDir, effEvents, maxChunks = effChunks),
         cdcRunForked(mid, logDir, effEvents, maxChunks = effChunks))
