@@ -43,8 +43,9 @@ object Bench {
     */
   private def awaitCalm(maxWaitSec: Int, threshold: Double = 2.0): Unit = {
     def load: Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => 0.0 }
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: java.io.IOException => 0.0 } // non-Linux: no gate
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var l = load
     while (l > threshold && System.nanoTime() < deadline) {
@@ -180,7 +181,7 @@ object Bench {
     // converges from below, and the short 8-core runs carry the most
     // variance — a 5th interleaved pair measurably tightens the N→4N
     // ratio for ~95 s of extra wall
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "5").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "5").toInt)
     // calm gate ONCE before the CDC phase: absorbs the query phase's own
     // load tail plus any external burst. No per-pair gating — between
     // pairs the 1-min loadavg is dominated by our own just-exited child,

@@ -254,7 +254,9 @@ object Merge {
           // The gate NAMESPACE is part of the key: epochs are only unique
           // per driver namespace, so a stream batchId and a SQL-allocated
           // epoch with the same number must not overwrite each other's
-          // dead letters (round-3 review).
+          // dead letters (round-3 review). This two-level layout is the
+          // dead-letter dir's one and only on-disk format — mixing depths
+          // under one root would break partition discovery.
           q.write.mode("overwrite").parquet(s"$qd/gate=$gateKey/epoch=$epoch")
           // count from footers of what we just appended is ambiguous across
           // batches; count the (tiny, now cached) poison set directly
@@ -366,8 +368,20 @@ object Merge {
       "touched-buckets" -> touched.size.toString)
     // untouched bucket groups carry forward by manifest REFERENCE — commit
     // metadata IO is O(touched), not O(live files) (manifest-list split)
-    table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
+    try table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
       written, summary)
+    catch { case e: Throwable =>
+      // losing the commit race AFTER the dead-letter write: remove this
+      // attempt's quarantine partition so a caller's retry at a fresh
+      // epoch cannot leave the same poison rows under two epochs
+      // (round-3 review) — the epoch-keyed overwrite is only idempotent
+      // for SAME-epoch replays
+      if (quarantined > 0) quarantineDir.foreach { qd =>
+        graft.core.Fs.deleteRecursively(
+          Paths.get(s"$qd/gate=$gateKey/epoch=$epoch"))
+      }
+      throw e
+    }
     partLineage.foreach { f =>
       try Metrics.appendPartitionLineage(table.dir, epoch,
         Await.result(f, Duration.Inf))

@@ -620,17 +620,20 @@ object SimilarityQueries {
             converged = changed == 0
             iter += 1
           }
-          require(converged,
-            s"d8_dup_clusters: label propagation not converged after $iter rounds")
           // materialize the (small) cluster table reliably, then release
           // the label cache — the returned plan must not depend on it
-          // (same discipline as the d3/d5 pair sets)
-          try materialize(
-            labels.groupBy("label")
-              .agg(collect_list("doc_id").as("members"))
-              .select(explode(col("members")).as("doc_id"),
-                col("label").as("cluster_id"), size(col("members")).as("cluster_size")))
-          finally labels.unpersist()
+          // (same discipline as the d3/d5 pair sets). The convergence
+          // require sits INSIDE the try so a non-convergence error cannot
+          // leak the final label cache (round-3 review).
+          try {
+            require(converged,
+              s"d8_dup_clusters: label propagation not converged after $iter rounds")
+            materialize(
+              labels.groupBy("label")
+                .agg(collect_list("doc_id").as("members"))
+                .select(explode(col("members")).as("doc_id"),
+                  col("label").as("cluster_id"), size(col("members")).as("cluster_size")))
+          } finally labels.unpersist()
         } finally edges.unpersist()
       },
       Some(s"""$bandsSqlCtes,

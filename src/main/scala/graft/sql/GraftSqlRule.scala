@@ -299,10 +299,13 @@ private[sql] object GraftWrites {
     */
   def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val capped =
-      if (userRows.rdd.getNumPartitions > 2047) userRows.coalesce(2047)
-      else userRows
-    capped
+    // UNCONDITIONAL coalesce: it is a plan-level no-op when the source
+    // already has fewer partitions, while probing .rdd.getNumPartitions
+    // first would (a) execute the data-sized source an extra time per
+    // attempt and (b) measure a different plan instance than the merge
+    // runs, so the bound it guards would not actually hold (round-3
+    // review)
+    userRows.coalesce(2047)
       .withColumn("op", lit("U"))
       .withColumn("lsn", lit((epoch + 1) * (1L << 44)) + monotonically_increasing_id())
   }
