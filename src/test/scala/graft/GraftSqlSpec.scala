@@ -177,6 +177,13 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rows_applied") == 1)
       assert(s.sql("SELECT text FROM graft.pages").head().getString(0) == "hello")
 
+      // catalog plumbing: listTables + schema surface through plain SQL
+      assert(s.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).contains("pages"))
+      val desc = s.sql("DESCRIBE TABLE graft.pages").collect()
+        .map(_.getString(0))
+      assert(desc.contains("url") && desc.contains("content_len"))
+
       // a user's PARTITIONED BY must be rejected, not silently discarded
       val pe = intercept[Exception] {
         s.sql("""CREATE TABLE graft.pages2 (
