@@ -2,6 +2,7 @@ package graft
 
 import graft.core.ChangeGen
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
 import scala.jdk.CollectionConverters._
 
 /** Per-round benchmark. Prints ONE JSON line:
@@ -226,16 +227,16 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val cdc = s"""{"events":$nEvents,"efficiency_pair_events":$effEventsApplied,""" +
       s""""cores_n":$lo,"cores_4n":$mid,"cores_max":$cpus,""" +
-      s""""events_per_sec_n":${"%.0f".format(epsLo)},""" +
-      s""""events_per_sec_4n":${"%.0f".format(epsMid)},""" +
-      s""""events_per_sec_max":${"%.0f".format(epsHi)},""" +
-      s""""events_per_sec_n_sustained":${"%.0f".format(epsLoSustained)},""" +
-      s""""events_per_sec_4n_sustained":${"%.0f".format(epsMidSustained)},""" +
-      s""""events_per_sec_max_sustained":${"%.0f".format(epsHiSustained)},""" +
-      s""""events_per_sec_4n_streaming_tail":${"%.0f".format(epsTail)},""" +
+      s""""events_per_sec_n":${String.format(Locale.ROOT, "%.0f", Double.box(epsLo))},""" +
+      s""""events_per_sec_4n":${String.format(Locale.ROOT, "%.0f", Double.box(epsMid))},""" +
+      s""""events_per_sec_max":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},""" +
+      s""""events_per_sec_n_sustained":${String.format(Locale.ROOT, "%.0f", Double.box(epsLoSustained))},""" +
+      s""""events_per_sec_4n_sustained":${String.format(Locale.ROOT, "%.0f", Double.box(epsMidSustained))},""" +
+      s""""events_per_sec_max_sustained":${String.format(Locale.ROOT, "%.0f", Double.box(epsHiSustained))},""" +
+      s""""events_per_sec_4n_streaming_tail":${String.format(Locale.ROOT, "%.0f", Double.box(epsTail))},""" +
       s""""streaming_tail_reps":$tailReps,""" +
-      s""""scaling_efficiency_pairs":[${effPairs.map("%.3f".format(_)).mkString(",")}],""" +
-      s""""scaling_efficiency_n_to_4n":${"%.3f".format(eff)}}"""
-    println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${"%.0f".format(epsHi)},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
+      s""""scaling_efficiency_pairs":[${effPairs.map(e => String.format(Locale.ROOT, "%.3f", Double.box(e))).mkString(",")}],""" +
+      s""""scaling_efficiency_n_to_4n":${String.format(Locale.ROOT, "%.3f", Double.box(eff))}}"""
+    println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":$total,"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -95,7 +95,10 @@ object Main {
           keepLast = opts("keep-last").toInt)
         Seq(s"expired $n snapshots")
       case "gc" =>
-        Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table))} files")
+        // default 1h orphan age guard protects in-flight commits; pass
+        // --min-age-sec 0 only when no writer can be active
+        val minAge = opts.get("min-age-sec").map(_.toLong * 1000).getOrElse(3600000L)
+        Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table), minAge)} files")
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move
         // from snapshot --from to --to (defaults: last commit's delta)

@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The window/salt strategies add internal working columns; a payload
+    * that already uses those names would be silently overwritten by
+    * withColumn and then dropped — reject loudly instead (round-3
+    * review). `_m` is safe: it only exists inside the agg projection.
+    */
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.filter(Set("_rn", "_salt").contains)
+    require(clash.isEmpty,
+      s"Dedup reserves column name(s) ${clash.mkString(", ")} — rename them")
+  }
+
   /** struct field order makes max() = latest (warc_ts, lsn). */
   private def packed(df: DataFrame, key: String, orderCols: Seq[String]): Column = {
     val payload = df.columns.filterNot(c => c == key || orderCols.contains(c))
@@ -32,6 +43,7 @@ object Dedup {
 
   def latestPerKeyWindow(df: DataFrame, key: String = "url",
       orderCols: Seq[String] = Seq("warc_ts", "lsn")): DataFrame = {
+    requireNoReserved(df)
     val w = Window.partitionBy(key).orderBy(orderCols.map(col(_).desc): _*)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -40,6 +52,7 @@ object Dedup {
   def latestPerKeySalted(df: DataFrame, key: String = "url",
       orderCols: Seq[String] = Seq("warc_ts", "lsn"),
       numSalts: Int = 16): DataFrame = {
+    requireNoReserved(df)
     // deterministic salt from the total ordering column (LSN): spreads a
     // hot key's events uniformly without RNG (replay-stable, §7.4 #2)
     val salted = df.withColumn("_salt",

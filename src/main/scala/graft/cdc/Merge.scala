@@ -182,6 +182,14 @@ object Merge {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
+    // Everything below may fail mid-flight (write error, lost commit
+    // race) AFTER this attempt persisted the key plan; without cleanup a
+    // caller that catches and retries accretes orphaned cached blocks
+    // (round-3 review). NonFatal lets the early-return control flow (and
+    // fatal errors) pass untouched; the early-return paths unpersist on
+    // their own.
+    try {
+
     val (stats, touched, currentRaw, statsWall) = if (fullRewrite) {
       // persist: the async stats job and the winner-broadcast build both
       // read this subplan — without the cache the narrow scan runs twice
@@ -212,8 +220,12 @@ object Merge {
     // 5. join-back: fetch only the winning events\u2019 payloads. LSN is
     //    globally unique, so a semi-join on the winners\u2019 LSN set selects
     //    exactly one event per url; the batch payload is read once and
-    //    NEVER shuffled (the winner set broadcasts while \u2264 ~10^7 keys per
-    //    batch; beyond that AQE falls back to a shuffled join). Then one
+    //    NEVER shuffled. The winner broadcast is FORCED while micro-batch
+    //    sizing keeps the key set driver-sized; past that the operator
+    //    sets graft.merge.broadcastWinners=false for a planner-chosen
+    //    shuffled semi-join \u2014 there is NO automatic size fallback (see
+    //    prepareWinners\u2019 scaladoc; an earlier comment here claimed AQE
+    //    falls back on its own \u2014 it does not, round-3 review). Then one
     //    small latest-wins agg resolves winners against current rows.
     //    Winning deletes are KEPT as tombstones (_op = 'D') so a late
     //    upsert older than a delete cannot resurrect the key — final state
@@ -399,6 +411,12 @@ object Merge {
     MergeStats(epoch, applied = true, eventsIn, rowsApplied, conflicts,
       deletes, st.getAs[Long]("lsnMin"), st.getAs[Long]("lsnMax"),
       touched.size, (System.nanoTime() - t0) / 1000000, quarantined)
+
+    } catch { case scala.util.control.NonFatal(e) =>
+      perKeyPlan.unpersist() // no-op if this attempt never persisted it
+      unprepare()
+      throw e
+    }
   }
 
   /** Align a producer-versioned batch to the (evolved) registry schema:

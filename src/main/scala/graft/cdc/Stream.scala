@@ -25,12 +25,27 @@ import scala.jdk.CollectionConverters._
   */
 object CdcStream {
 
-  /** Gate namespace for log-ordered epochs (streaming batchIds / replay
-    * chunk indexes — both number the SAME log identically), kept separate
-    * from batch callers' `last-epoch` so the two sequences cannot swallow
-    * each other's epochs.
+  /** Gate namespace for log-ordered REPLAY epochs (chunk indexes), kept
+    * separate from batch callers' `last-epoch` so the two sequences
+    * cannot swallow each other's epochs.
     */
   val StreamGateKey = "stream-epoch"
+
+  /** Gate namespace for a streaming tail, derived from its CHECKPOINT:
+    * Spark batchIds are only meaningful within one checkpoint's file-log
+    * (a fresh checkpoint renumbers batches, and maxFilesPerTrigger
+    * changes the files-per-batch mapping), so sharing one gate across
+    * checkpoints could silently skip never-applied batches (round-3
+    * review). A per-checkpoint namespace turns that failure mode into
+    * safe REPROCESSING — re-applied events reconverge by the argmax
+    * merge semantics — at the cost of redundant work after an
+    * intentional checkpoint reset.
+    */
+  def gateKeyFor(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    f"$StreamGateKey-${d(0)}%02x${d(1)}%02x${d(2)}%02x${d(3)}%02x"
+  }
 
   /** Structured Streaming tail of a uniform-schema log directory. Besides
     * the per-batch lineage in metrics.jsonl, Spark's own trigger progress
@@ -81,9 +96,10 @@ object CdcStream {
             quarantineDir = quarantineDir,
             // production tail emits the north star's per-partition lineage
             partitionLineage = true,
-            // stream epochs (batchIds) gate in their own namespace so an
-            // interleaved SQL/CLI merge cannot swallow a stream batch
-            gateKey = StreamGateKey)
+            // stream epochs (batchIds) gate in their own PER-CHECKPOINT
+            // namespace so an interleaved SQL/CLI merge — or a replay, or
+            // a tail on a different checkpoint — cannot swallow a batch
+            gateKey = gateKeyFor(checkpointDir))
           if (stats.applied) Metrics.append(tableDir, stats)
           ()
         }
@@ -137,6 +153,16 @@ object CdcStream {
       tableDir: String, maxChunks: Int = Int.MaxValue): Seq[MergeStats] = {
     val table = LakeTable.load(spark, tableDir)
     val Chunk = "chunk-(\\d+)-v(\\d+)\\.parquet".r
+    // consult the gate ONCE up front and skip committed chunks BEFORE any
+    // prefetch: the per-batch gate inside applyBatch still protects
+    // racing writers, but without this a resume of a mostly-committed log
+    // would run two full-chunk prefetch jobs per skipped chunk — O(log
+    // IO) instead of O(metadata) (round-3 review). The promised resume
+    // contract ("the epoch gate alone skips committed chunks") now holds
+    // at its intended cost.
+    val committed = table
+      .lastCommittedEpoch(table.currentSnapshot, StreamGateKey)
+      .getOrElse(-1L)
     val chunks = graft.core.Fs.list(Paths.get(logDir)).iterator
       .flatMap { p =>
         p.getFileName.toString match {
@@ -144,6 +170,7 @@ object CdcStream {
           case _ => None
         }
       }.toSeq.sortBy(_._1).take(maxChunks)
+      .filter(_._1 > committed)
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     def readChunk(v: Int, path: String) =
@@ -222,7 +249,10 @@ object Metrics {
         s""""rows_applied":${s.rowsApplied},"conflicts":${s.conflicts},""" +
         s""""deletes":${s.deletes},"lsn_min":${s.lsnMin},"lsn_max":${s.lsnMax},""" +
         s""""touched_buckets":${s.touchedBuckets},"wall_ms":${s.wallMs},""" +
-        s""""events_per_sec":${"%.1f".format(evps)}}""" + "\n"
+        s""""quarantined":${s.quarantined},""" +
+        // Locale.ROOT: a comma-decimal default locale would corrupt the
+        // JSON line (round-3 review)
+        s""""events_per_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(evps))}}""" + "\n"
     Files.writeString(dir.resolve("metrics.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -288,7 +318,9 @@ object Metrics {
         n.get("events_in").asLong(), n.get("rows_applied").asLong(),
         n.get("conflicts").asLong(), n.get("deletes").asLong(),
         n.get("lsn_min").asLong(), n.get("lsn_max").asLong(),
-        n.get("touched_buckets").asInt(), n.get("wall_ms").asLong())
+        n.get("touched_buckets").asInt(), n.get("wall_ms").asLong(),
+        // absent in pre-round-3 lines: default 0
+        quarantined = if (n.has("quarantined")) n.get("quarantined").asLong() else 0L)
     }.sortBy(_.epoch)
   }
 }

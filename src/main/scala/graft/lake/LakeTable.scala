@@ -426,14 +426,18 @@ object LakeTable {
     * survive metadata-only commits, compaction, and snapshot expiry:
     * the per-namespace exactly-once high-waters and the event-time
     * watermark (dropping `watermark-ms` silently reset T6 late-data
-    * lineage after every compaction — round-2 review).
+    * lineage after every compaction — round-2 review). `stream-epoch`
+    * covers both the replay gate and every per-checkpoint tail gate
+    * (`stream-epoch-<ck>`) by PREFIX — a tail's namespace must survive
+    * commits made by other drivers or its resume gate silently resets.
     */
   val lineageKeys: Seq[String] =
-    Seq("last-epoch", "stream-epoch", "watermark-ms")
+    Seq("last-epoch", "watermark-ms")
 
   /** The subset of `summary` that must survive into the next commit. */
   def inheritLineage(summary: Map[String, String]): Map[String, String] =
-    summary.view.filterKeys(lineageKeys.contains).toMap
+    summary.view.filterKeys(k =>
+      lineageKeys.contains(k) || k.startsWith("stream-epoch")).toMap
 
   /** Bucket-group width of one manifest file. 64 keeps the manifest list
     * at numBuckets/64 refs (1.5k at 10^5 buckets) and each manifest at

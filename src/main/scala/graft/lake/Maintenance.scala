@@ -73,19 +73,32 @@ object Maintenance {
     * commit dirs (data written, manifest never published) and orphan
     * manifests (written but never referenced by a published snapshot) are
     * exactly what this removes.
+    *
+    * `minAgeMs` (Iceberg-style orphan age threshold, round-3 review):
+    * an IN-FLIGHT commit's phase-1 files are unreferenced until its
+    * manifest publishes, so a concurrent gc with no age guard would
+    * delete them and let the writer publish a snapshot pointing at
+    * nothing — permanent corruption. Only files older than the threshold
+    * are collected; pass 0 ONLY when no writer can be active (tests,
+    * offline maintenance). Paths are normalize()d on both sides — a
+    * table dir spelled with `.`/`..` at commit or gc time must not make
+    * live files look unreferenced.
     */
-  def gc(table: LakeTable): Int = {
+  def gc(table: LakeTable, minAgeMs: Long = 3600000L): Int = {
+    def canon(p: Path): String = p.toAbsolutePath.normalize().toString
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
+      catch { case _: java.io.IOException => false }
     val snaps = table.existingVersions.map(table.snapshot)
-    val referenced = snaps.flatMap(_.files.map(f =>
-      Paths.get(f.path).toAbsolutePath.toString)).toSet
-    val liveManifests = snaps.flatMap(_.manifests.map(m =>
-      Paths.get(m.path).toAbsolutePath.toString)).toSet
+    val referenced = snaps.flatMap(_.files.map(f => canon(Paths.get(f.path)))).toSet
+    val liveManifests = snaps.flatMap(_.manifests.map(m => canon(Paths.get(m.path)))).toSet
     val dataDir = Paths.get(table.dir, "data")
     var removed = 0
     if (Files.exists(dataDir)) {
       graft.core.Fs.walk(dataDir).reverse.foreach { p =>
-        if (Files.isRegularFile(p)
-            && !referenced.contains(p.toAbsolutePath.toString)) {
+        if (Files.isRegularFile(p) && !referenced.contains(canon(p))
+            && oldEnough(p)) {
           Files.delete(p); removed += 1
         } else if (Files.isDirectory(p) && p != dataDir
             && graft.core.Fs.isEmptyDir(p)) {
@@ -96,7 +109,7 @@ object Maintenance {
     val manifestDir = Paths.get(table.dir, "meta", "manifests")
     if (Files.exists(manifestDir)) {
       graft.core.Fs.list(manifestDir).foreach { p =>
-        if (!liveManifests.contains(p.toAbsolutePath.toString)) {
+        if (!liveManifests.contains(canon(p)) && oldEnough(p)) {
           Files.delete(p); removed += 1
         }
       }

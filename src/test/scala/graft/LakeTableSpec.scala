@@ -81,9 +81,9 @@ class LakeTableSpec extends AnyFunSuite {
     // gc with all snapshots live removes nothing; after expiry the
     // superseded group-0 manifests (v1/v2-era) are collected
     import graft.lake.Maintenance
-    assert(Maintenance.gc(t) == 0)
+    assert(Maintenance.gc(t, minAgeMs = 0L) == 0)
     Maintenance.expireSnapshots(t, keepLast = 1)
-    assert(Maintenance.gc(t) > 0)
+    assert(Maintenance.gc(t, minAgeMs = 0L) > 0)
     assert(t.currentSnapshot.files.size == 3) // live state intact
   }
 
@@ -103,7 +103,7 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.currentSnapshot.files.map(_.path) == Seq(df(1, "winner").path))
     // the loser's unreferenced manifest is an orphan until gc
     import graft.lake.Maintenance
-    assert(Maintenance.gc(t) >= 1)
+    assert(Maintenance.gc(t, minAgeMs = 0L) >= 1)
     assert(t.currentSnapshot.files.map(_.path) == Seq(df(1, "winner").path))
   }
 

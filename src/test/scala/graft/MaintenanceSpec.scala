@@ -77,7 +77,7 @@ class MaintenanceSpec extends AnyFunSuite {
 
     val expired = Maintenance.expireSnapshots(t, keepLast = 1)
     assert(expired > 0)
-    val removed = Maintenance.gc(t)
+    val removed = Maintenance.gc(t, minAgeMs = 0L) // offline: no writer active
     assert(removed > 0)
     // orphan is gone, table content intact, only referenced files remain
     assert(!Files.exists(Paths.get(orphanDir, "orphan.parquet")))

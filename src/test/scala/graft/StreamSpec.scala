@@ -100,10 +100,10 @@ class StreamSpec extends AnyFunSuite {
     val direct = Merge.applyBatch(spark, tB, batch3, epoch = 3,
       batchSchemaVersion = 3,
       batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
-      // the sink-ahead write is IN the stream's epoch sequence, so it
-      // gates (and advances) the stream namespace — an unrelated batch
-      // caller would use the default last-epoch namespace instead
-      gateKey = CdcStream.StreamGateKey)
+      // the sink-ahead write is IN this tail's epoch sequence, so it
+      // gates (and advances) THAT CHECKPOINT's namespace — tail gates are
+      // per-checkpoint so a different checkpoint/replay cannot collide
+      gateKey = CdcStream.gateKeyFor(ckB))
     assert(direct.applied)
 
     // …restart: the stream re-delivers epoch 3; the gate must skip it
