@@ -131,12 +131,15 @@ object MultimodalQueries {
           }
           .toDF("doc_id", "sum_r", "sum_g", "sum_b")
       },
+      // DuckDB widens integer sum() to HUGEINT, which the driver hashes as
+      // float64 while Spark emits BIGINT — pin the oracle to BIGINT (same
+      // fix as the d4_simhash oracle).
       Some(s"""SELECT doc_id,
-              |  (SELECT sum((doc_id * 31 + x * 7 + y * 13) % 256)
+              |  (SELECT CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
               |   FROM range(8) t1(x), range(8) t2(y)) AS sum_r,
-              |  (SELECT sum((doc_id * 17 + x * 11 + y * 3) % 256)
+              |  (SELECT CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT)
               |   FROM range(8) t1(x), range(8) t2(y)) AS sum_g,
-              |  (SELECT sum((doc_id * 23 + x * 5 + y * 19) % 256)
+              |  (SELECT CAST(sum((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT)
               |   FROM range(8) t1(x), range(8) t2(y)) AS sum_b
               |FROM documents""".stripMargin)),
 

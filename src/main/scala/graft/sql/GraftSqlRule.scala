@@ -276,6 +276,14 @@ private[sql] object GraftWrites {
       retries += 1
       attempt = once(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     }
+    // retry budget exhausted under sustained contention: the write did NOT
+    // land, and returning a lineage row with applied=false would let a
+    // caller that never inspects it lose the statement silently — a
+    // dropped write must never look like success (round-3 advice)
+    if (gateSwallowed(attempt) && !epochPinned(session))
+      throw new IllegalStateException(
+        s"write to ${table.dir} lost $retries consecutive epoch races " +
+          "(sustained concurrent-committer contention); retry the statement")
     val s = attempt.fold(e => throw e, identity)
     // same lineage sink as the stream drivers — SQL writes show up in
     // the $metrics metadata table too
@@ -402,8 +410,18 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     val created = catalog.createTable(ident, src.schema,
       Array.empty[Transform], properties.asJava).asInstanceOf[GraftTable]
     val table = LakeTable.load(session, created.dir)
-    GraftWrites.applyAndLog(session, table,
+    // atomic CTAS: a first-epoch write failure must not strand a committed
+    // EMPTY table — a rerun without IF NOT EXISTS would then die with
+    // TableAlreadyExists instead of retrying the load (round-3 advice).
+    // Drop the just-created identifier before rethrowing so a failed CTAS
+    // is cleanly re-runnable.
+    try GraftWrites.applyAndLog(session, table,
       e => GraftWrites.toEvents(src, e),
       GraftWrites.allocatedEpoch(session, table))
+    catch { case e: Throwable =>
+      try catalog.dropTable(ident)
+      catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+      throw e
+    }
   }
 }
