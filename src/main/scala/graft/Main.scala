@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
   *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed]
+  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed \
+  *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
@@ -99,12 +101,38 @@ object Main {
         // --min-age-sec 0 only when no writer can be active
         val minAge = opts.get("min-age-sec").map(_.toLong * 1000).getOrElse(3600000L)
         Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table), minAge)} files")
+      case "changes" if opts.contains("follow") =>
+        // CDC OUT, continuous: tail the changelog — per poll, emit the
+        // delta since the checkpointed version into a range-keyed parquet
+        // dir (overwrite => re-emission after a crash is idempotent) and
+        // advance the checkpoint. The first emission of a fresh
+        // checkpoint is the full-snapshot bootstrap (from = -1).
+        val out = opts.getOrElse("out",
+          sys.error("changes --follow requires --out <dir>"))
+        val ck = opts.getOrElse("checkpoint",
+          sys.error("changes --follow requires --checkpoint <file>"))
+        val interval = (opts.get("interval").map(_.toDouble).getOrElse(5.0) * 1000).toLong
+        val duration = opts.get("duration-sec").map(d => (d.toDouble * 1000).toLong)
+        val emitted = graft.cdc.ChangeFeed.follow(spark, table, ck,
+          onDelta = (from, to, df) => {
+            val dir = if (from == -1) s"$out/bootstrap_v$to"
+              else s"$out/delta_v${from}_v$to"
+            df.write.mode("overwrite").parquet(dir)
+            // count from the written files, not a second plan execution
+            spark.read.parquet(dir).count()
+          },
+          intervalMs = interval, durationMs = duration,
+          rebootstrap = opts.contains("rebootstrap"))
+        emitted.map(e => s"emitted ${if (e.from == -1) "bootstrap" else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
+          report(spark, table)
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move
         // from snapshot --from to --to (defaults: last commit's delta)
         val t = LakeTable.load(spark, table)
         val to = opts.get("to").map(_.toInt).getOrElse(t.currentVersion)
-        val from = opts.get("from").map(_.toInt).getOrElse(math.max(0, to - 1))
+        // floor -1, not 0: on a table whose only commit is v0 the default
+        // delta is the full initial changelog, not a silent empty range
+        val from = opts.get("from").map(_.toInt).getOrElse(math.max(-1, to - 1))
         val df = t.changesBetween(from, to)
         opts.get("out").foreach(o => df.write.mode("overwrite").parquet(o))
         // count from the materialized export when one was written — the

@@ -1,0 +1,119 @@
+package graft.cdc
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** The CDC *output* side as a followable stream (round-3 verdict #2):
+  * a long-lived driver loop that, per poll, emits
+  * `changesBetween(lastEmitted, current)` and checkpoints the emitted
+  * version — the changelog twin of the binlog tail's re-polled queue
+  * (reference analog: /root/reference/query_queues.sh:1-19).
+  *
+  * Delivery contract (same gate discipline as the tail, inverted to the
+  * consumer side):
+  *  - the consumer callback runs BEFORE the checkpoint advances, so a
+  *    crash between the two re-emits the same delta on restart —
+  *    at-least-once delivery whose re-application is idempotent for any
+  *    consumer that applies deltas by the engine's argmax merge keyed on
+  *    the emitted `to` version (the ChangesSpec replica does exactly
+  *    that; the CLI writes each delta to a range-keyed directory with
+  *    overwrite, the quarantine discipline).
+  *  - the FIRST emission of a fresh checkpoint is the initial changelog
+  *    (`from = -1`): the full current snapshot. Consumers must treat
+  *    `from == -1` as "replace state", not "merge delta" — after a
+  *    retention breach or tombstone purge that is the only correct
+  *    resync, because a merge-applied full snapshot cannot delete rows
+  *    the source dropped.
+  *  - if the checkpointed version falls behind the table's retention
+  *    horizon, or a purge-tombstones compaction lands inside the pending
+  *    range, `changesBetween` refuses the range; with `rebootstrap =
+  *    true` the follower resets to a full-snapshot emission instead of
+  *    failing (operator opt-in, because the consumer must implement
+  *    replace-on-bootstrap for it to be sound).
+  *
+  * Scale shape: each poll is metadata-first (manifest-ref diff) and the
+  * emitted plan reads only changed buckets — a quiet table costs one
+  * version listing per poll, no executor work.
+  */
+object ChangeFeed {
+
+  /** One emission: the delta (or, for from = -1, full snapshot) that
+    * moved the feed's checkpoint to `to`. `rows` is whatever the
+    * consumer callback reported (its durably-landed row count).
+    */
+  final case class Emitted(from: Int, to: Int, rows: Long)
+
+  /** Last version this checkpoint emitted; -1 for a fresh feed. */
+  def lastEmitted(checkpointFile: String): Int = {
+    val p = Paths.get(checkpointFile)
+    if (!Files.exists(p)) -1
+    else Files.readString(p).trim.toInt
+  }
+
+  private def writeCheckpoint(checkpointFile: String, version: Int): Unit = {
+    val p = Paths.get(checkpointFile)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp")
+    Files.writeString(tmp, version.toString)
+    // atomic replace: a crash mid-write can never leave a torn version,
+    // and single-writer-per-checkpoint makes replace (not link) correct
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One poll: if the table advanced past the checkpoint, hand
+    * `(from, to, delta)` to `onDelta` (which returns the row count it
+    * landed), then checkpoint `to`. Returns the emission, or None if the
+    * feed is already caught up.
+    */
+  def pollOnce(spark: SparkSession, tableDir: String, checkpointFile: String,
+      onDelta: (Int, Int, DataFrame) => Long,
+      rebootstrap: Boolean = false): Option[Emitted] = {
+    val table = LakeTable.load(spark, tableDir)
+    val current = table.currentVersion
+    val from = lastEmitted(checkpointFile)
+    if (current <= from) return None
+    val (effFrom, delta) =
+      try (from, table.changesBetween(from, current))
+      catch {
+        // retention breach (expired `from`) or purge inside the range:
+        // with the operator's opt-in, degrade to a full-snapshot resync
+        // instead of a permanently-crashed feed
+        case e @ (_: IllegalArgumentException | _: IllegalStateException)
+            if rebootstrap && from >= 0 =>
+          System.err.println(s"[graft] change feed $checkpointFile cannot " +
+            s"read v$from->v$current (${e.getMessage}); re-bootstrapping " +
+            "with a full snapshot")
+          (-1, table.changesBetween(-1, current))
+      }
+    val rows = onDelta(effFrom, current, delta)
+    writeCheckpoint(checkpointFile, current)
+    Some(Emitted(effFrom, current, rows))
+  }
+
+  /** Follow the changelog until `until()` holds AND the feed is caught
+    * up (or `durationMs` elapses, if set). Returns every emission in
+    * order. Poll cost on a quiet table is metadata-only, so short
+    * intervals are cheap.
+    */
+  def follow(spark: SparkSession, tableDir: String, checkpointFile: String,
+      onDelta: (Int, Int, DataFrame) => Long,
+      intervalMs: Long = 5000L,
+      durationMs: Option[Long] = None,
+      until: () => Boolean = () => false,
+      rebootstrap: Boolean = false): Seq[Emitted] = {
+    val deadline = durationMs.map(System.nanoTime() + _ * 1000000L)
+    val out = Seq.newBuilder[Emitted]
+    var done = false
+    while (!done) {
+      val emitted = pollOnce(spark, tableDir, checkpointFile, onDelta, rebootstrap)
+      emitted.foreach(out += _)
+      val caughtUp = emitted.isEmpty
+      done = (until() && caughtUp) ||
+        deadline.exists(System.nanoTime() >= _)
+      if (!done && caughtUp) Thread.sleep(intervalMs)
+    }
+    out.result()
+  }
+}

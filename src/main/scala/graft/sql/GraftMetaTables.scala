@@ -88,8 +88,11 @@ object GraftMetaTables {
     // last commit's delta).
     if (kind == "changes") {
       val to = pinVersion.getOrElse(lake.currentVersion)
+      // default from = to - 1 (last commit's delta), floored at -1 so the
+      // FIRST commit's delta is the observable initial changelog instead
+      // of a silently-empty from==to range (round-3 advice)
       val from = spark.conf.getOption("graft.changes.from").map(_.toInt)
-        .getOrElse(math.max(0, to - 1))
+        .getOrElse(math.max(-1, to - 1))
       return lake.changesBetween(from, to)
     }
     val rows: Seq[Row] = kind match {

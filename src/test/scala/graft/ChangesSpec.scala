@@ -70,4 +70,104 @@ class ChangesSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { t.changesBetween(3, 1) }
     assert(e.getMessage.contains("from"))
   }
+
+  test("changelog contract: initial bootstrap, expired range, purge-tombstones fence") {
+    val dir = TestSpark.tempDir("changes-contract")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val b0 = Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b0, 0, 3).applied)
+
+    // initial changelog: from = -1 emits the full snapshot (the fresh-
+    // replica bootstrap), and the FIRST commit's delta is observable
+    // through it instead of collapsing to an empty from==to range
+    assert(changeSet(t, -1, 1) == Set(("http://a", "U", 1L), ("http://b", "U", 2L)))
+
+    // delete b, then purge its tombstone via compaction
+    val b1 = Seq(ev(3, "D", "http://b", ts("2024-01-02 00:00:00"), null))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b1, 1, 3).applied)
+    Maintenance.compact(spark, t, purgeTombstones = true) // v3 = purge
+    val b2 = Seq(ev(4, "U", "http://c", ts("2024-01-03 00:00:00"), "c v1"))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b2, 3, 3).applied) // v4
+
+    // a range CROSSING the purge must refuse (the purged delete of b
+    // would silently vanish from the delta), even from versions that
+    // still exist; ranges starting AT the purge version are valid, and
+    // the purge watermark survives later commits
+    val purgeErr = intercept[IllegalStateException] { t.changesBetween(1, 4) }
+    assert(purgeErr.getMessage.contains("purge"))
+    intercept[IllegalStateException] { t.changesBetween(2, 4) }
+    assert(changeSet(t, 3, 4) == Set(("http://c", "U", 4L)))
+    // bootstrap stays valid across the purge — it is to-state, not a delta
+    assert(changeSet(t, -1, 4) ==
+      Set(("http://a", "U", 1L), ("http://c", "U", 4L)))
+
+    // retention breach: expire everything but the current snapshot — an
+    // expired `from` raises a clear re-bootstrap error, not a file error
+    Maintenance.expireSnapshots(t, keepLast = 1)
+    val gone = intercept[IllegalArgumentException] { t.changesBetween(3, 4) }
+    assert(gone.getMessage.contains("expired") &&
+      gone.getMessage.contains("re-bootstrap"))
+  }
+
+  test("change feed: a tailing replica converges while merges keep landing") {
+    import graft.cdc.ChangeFeed
+    val dir = TestSpark.tempDir("feed-table")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val mirrorDir = TestSpark.tempDir("feed-mirror")
+    val mirror = LakeTable.create(spark, mirrorDir, schemaId = 3, numBuckets = 4)
+    val ck = TestSpark.tempDir("feed-ck") + "/feed.v"
+
+    // writer thread: 6 epochs of inserts/updates/deletes landing live
+    val epochs: Seq[Seq[(Long, String, String, java.sql.Timestamp, Array[Byte], String, String, Long)]] =
+      (0 until 6).map { e =>
+        val base = e * 10
+        Seq(
+          ev(base + 1, "U", s"http://k${e % 3}", ts(f"2024-01-0${e + 1}%d 00:00:00"), s"k${e % 3} @e$e"),
+          ev(base + 2, if (e == 3) "D" else "U", "http://hot",
+            ts(f"2024-01-0${e + 1}%d 00:00:01"), if (e == 3) null else s"hot @e$e"))
+      }
+    @volatile var writerDone = false
+    val writer = new Thread(() => {
+      try epochs.zipWithIndex.foreach { case (rows, e) =>
+        assert(Merge.applyBatch(spark, t, rows.toDF(cols: _*), e, 3).applied)
+        Thread.sleep(120)
+      } finally writerDone = true
+    })
+
+    // the replica applies each emission through the argmax merge, keyed
+    // by the emitted `to` version — so a re-emitted delta (crash between
+    // consume and checkpoint) gates out idempotently. from == -1 would
+    // mean replace-state; here the mirror starts empty so merge == replace.
+    def applyDelta(from: Int, to: Int, df: org.apache.spark.sql.DataFrame): Long = {
+      val batch = df.withColumnRenamed("_lsn", "lsn").withColumnRenamed("_op", "op")
+      val s = Merge.applyBatch(spark, mirror, batch, to.toLong, 3)
+      s.rowsApplied
+    }
+    writer.start()
+    val emitted = ChangeFeed.follow(spark, dir, ck, applyDelta,
+      intervalMs = 60, until = () => writerDone)
+    writer.join()
+
+    assert(emitted.nonEmpty && emitted.head.from == -1) // bootstrap first
+    // emissions chain contiguously and the checkpoint landed at the head
+    emitted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.from == a.to); case _ => ()
+    }
+    assert(ChangeFeed.lastEmitted(ck) == t.currentVersion)
+    // convergence: the tailing mirror's live state equals the source's
+    val live = (d: LakeTable) => d.readUser().select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(live(mirror) == live(t))
+    // the feed actually TAILED (several incremental emissions), not one
+    // catch-up batch — the writer sleeps between epochs to guarantee it
+    assert(emitted.size >= 2)
+
+    // caught-up feed: another poll emits nothing and moves nothing
+    assert(ChangeFeed.pollOnce(spark, dir, ck, applyDelta).isEmpty)
+    assert(ChangeFeed.lastEmitted(ck) == t.currentVersion)
+  }
 }

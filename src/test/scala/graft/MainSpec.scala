@@ -84,6 +84,40 @@ class MainSpec extends AnyFunSuite {
     assert(graft.lake.LakeTable.load(spark, dir).readUser().count() == 2)
   }
 
+  test("CLI changes --follow tails the changelog into range-keyed parquet") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("cli-changes-table")
+    val feed = TestSpark.tempDir("cli-changes-feed")
+    val ck = TestSpark.tempDir("cli-changes-ck") + "/feed.v"
+    Main.run(spark, Seq("create", "--table", dir, "--buckets", "4"))
+    val t = graft.lake.LakeTable.load(spark, dir)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def batch(lsn: Long, url: String) =
+      Seq((lsn, "U", url, ts, null: Array[Byte], s"text $lsn", "en", 6L))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    assert(graft.cdc.Merge.applyBatch(spark, t, batch(1, "http://a"), 0, 3).applied)
+    // drop a second commit while the bounded follow run is live
+    val dropper = new Thread(() => {
+      Thread.sleep(1200)
+      graft.cdc.Merge.applyBatch(spark, t, batch(2, "http://b"), 1, 3)
+    })
+    dropper.start()
+    val out = Main.run(spark, Seq("changes", "--table", dir, "--follow",
+      "--out", feed, "--checkpoint", ck, "--interval", "0.2",
+      "--duration-sec", "6"))
+    dropper.join()
+    // bootstrap emission first, then the live-landed delta
+    assert(out.exists(_.startsWith("emitted bootstrap")), out.mkString("; "))
+    assert(out.exists(l => l.startsWith("emitted v") && l.contains("rows=1")),
+      out.mkString("; "))
+    assert(graft.cdc.ChangeFeed.lastEmitted(ck) == t.currentVersion)
+    // the feed dirs re-read as the deltas they claim
+    val dirs = graft.core.Fs.list(java.nio.file.Paths.get(feed))
+      .map(_.getFileName.toString).sorted
+    assert(dirs.exists(_.startsWith("bootstrap_")) &&
+      dirs.exists(_.startsWith("delta_")), dirs.mkString(","))
+  }
+
   test("CLI arg parser and unknown-command guard") {
     assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
     assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))
