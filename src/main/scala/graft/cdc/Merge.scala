@@ -91,22 +91,42 @@ object Merge {
     * resolving — the full-payload scan (the dominant per-batch cost, ~75%
     * of wall at 8 cores) moves off the critical path.
     *
-    * The broadcast hint is FORCED (it never falls back), which is right
-    * while one micro-batch's winner-key set stays driver-sized — ≤ ~10^7
-    * keys ≈ 80 MB; micro-batch sizing (maxFilesPerTrigger) is the
-    * deployment knob that bounds it. Past that, set
-    * `graft.merge.broadcastWinners=false` to hand the join strategy to
-    * the planner/AQE (shuffled semi-join on lsn, skew-free since lsn is
-    * unique).
+    * Join strategy (round-3 verdict #4 — the engine decides, not a
+    * deployment knob): broadcast when the winner-key COUNT is known to be
+    * driver-sized, else a planner-chosen shuffled semi-join on lsn
+    * (skew-free — lsn is unique). See [[winnersBroadcast]] for where
+    * counts come from and the one path that still defaults to broadcast.
     */
-  def prepareWinners(rawBatch: DataFrame, preparedKeys: DataFrame): DataFrame = {
+  def prepareWinners(rawBatch: DataFrame, preparedKeys: DataFrame,
+      nKeys: Option[Long] = None): DataFrame = {
     val winnerLsns = preparedKeys.select(col("win.lsn").as("lsn"))
-    val doBroadcast = rawBatch.sparkSession.conf
-      .getOption("graft.merge.broadcastWinners").forall(_.toBoolean)
     rawBatch.join(
-      if (doBroadcast) broadcast(winnerLsns) else winnerLsns,
+      if (winnersBroadcast(rawBatch.sparkSession, nKeys)) broadcast(winnerLsns)
+      else winnerLsns,
       Seq("lsn"), "left_semi")
   }
+
+  /** Winner-semi-join strategy: broadcast iff the winner-key count is
+    * known to fit the driver (`graft.merge.broadcastWinnersMaxKeys`,
+    * default 10^7 ≈ 80 MB of LSNs). Counts are already on hand on the
+    * paths that matter — the prune path's blocking stats agg and the
+    * prefetch's materialized key-plan count — so an over-sized
+    * micro-batch degrades to a shuffled semi-join instead of OOMing the
+    * driver, with no conf intervention. The async-stats full-rewrite
+    * path has NO key count without a blocking job (that barrier is the
+    * cost the async design exists to avoid), so it keeps the broadcast
+    * default, bounded by micro-batch sizing as before.
+    * `graft.merge.broadcastWinners` (true/false) still overrides both
+    * directions for operators who know better.
+    */
+  def winnersBroadcast(spark: SparkSession, nKeys: Option[Long]): Boolean =
+    spark.conf.getOption("graft.merge.broadcastWinners").map(_.toBoolean)
+      .getOrElse {
+        val maxKeys = spark.conf
+          .getOption("graft.merge.broadcastWinnersMaxKeys")
+          .map(_.toLong).getOrElse(10000000L)
+        nKeys.forall(_ <= maxKeys)
+      }
 
   def applyBatch(spark: SparkSession, table: LakeTable, rawBatch: DataFrame,
       epoch: Long, batchSchemaVersion: Int,
@@ -115,7 +135,8 @@ object Merge {
       preparedWinners: Option[DataFrame] = None,
       quarantineDir: Option[String] = None,
       partitionLineage: Boolean = false,
-      gateKey: String = "last-epoch"): MergeStats = {
+      gateKey: String = "last-epoch",
+      truncate: Boolean = false): MergeStats = {
     def unprepare(): Unit = {
       preparedKeys.foreach(_.unpersist())
       preparedWinners.foreach(_.unpersist())
@@ -176,7 +197,12 @@ object Merge {
     //    rewrite instead, with the lineage stats job running ASYNC behind
     //    the main job and joined before the manifest publish.
     val tableBytes = snap.totalBytes // manifest-ref stats, no manifest reads
-    val fullRewrite = batchBytesHint.exists(b => b > 0 && b * 4 > tableBytes)
+    // truncate (K2 / INSERT OVERWRITE): the batch REPLACES the table —
+    // always a full rewrite, and the current rows never participate in
+    // resolution (reference analog: WRITE_TRUNCATE,
+    // /root/reference/upload_data/Teams/upload_team_tables.R:67-80)
+    val fullRewrite = truncate ||
+      batchBytesHint.exists(b => b > 0 && b * 4 > tableBytes)
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -197,7 +223,10 @@ object Merge {
       if (preparedKeys.isEmpty) perKeyPlan.persist()
       val f = Future { statsOf(perKeyPlan).head() }
       val allBuckets = (0 until nb).toSet
-      (f, allBuckets, table.readBuckets(snap, allBuckets), false)
+      // truncate: current rows are dropped, not resolved against —
+      // readBuckets(Set.empty) is the schema-correct empty frame
+      (f, allBuckets,
+        table.readBuckets(snap, if (truncate) Set.empty else allBuckets), false)
     } else {
       perKeyPlan.persist()
       val st = statsOf(perKeyPlan).head()
@@ -220,18 +249,25 @@ object Merge {
     // 5. join-back: fetch only the winning events\u2019 payloads. LSN is
     //    globally unique, so a semi-join on the winners\u2019 LSN set selects
     //    exactly one event per url; the batch payload is read once and
-    //    NEVER shuffled. The winner broadcast is FORCED while micro-batch
-    //    sizing keeps the key set driver-sized; past that the operator
-    //    sets graft.merge.broadcastWinners=false for a planner-chosen
-    //    shuffled semi-join \u2014 there is NO automatic size fallback (see
-    //    prepareWinners\u2019 scaladoc; an earlier comment here claimed AQE
-    //    falls back on its own \u2014 it does not, round-3 review). Then one
-    //    small latest-wins agg resolves winners against current rows.
+    //    NEVER shuffled. Join strategy is the engine's own call: the
+    //    prune path hands its stats-agg key count to prepareWinners, so
+    //    an over-sized batch takes a shuffled semi-join automatically
+    //    (see winnersBroadcast); only the async-stats full-rewrite path
+    //    keeps the broadcast default. Then one small latest-wins agg
+    //    resolves winners against current rows.
     //    Winning deletes are KEPT as tombstones (_op = 'D') so a late
     //    upsert older than a delete cannot resurrect the key — final state
     //    is a pure argmax over the whole log, independent of batch
     //    boundaries (replay convergence, §7.4 #1).
-    val winnersRaw = preparedWinners.getOrElse(prepareWinners(rawBatch, perKeyPlan))
+    // statsWall marks the prune path, whose stats future is already
+    // complete — its nKeys is free; the full-rewrite path's stats are
+    // still in flight and are NOT awaited here (the plan-build barrier is
+    // what the async design removes)
+    val syncKeys: Option[Long] =
+      if (statsWall) Some(Await.result(stats, Duration.Zero).getAs[Long]("nKeys"))
+      else None
+    val winnersRaw = preparedWinners.getOrElse(
+      prepareWinners(rawBatch, perKeyPlan, syncKeys))
     val joined = alignBatch(winnersRaw, dataSchema)
     // T4 quarantine / dead-letter (reference analog: problem_submissions,
     // make_round3_prediction_files.R:54-56,237): a poison event — one whose
@@ -377,7 +413,14 @@ object Merge {
       "rows-applied" -> rowsApplied.toString,
       "conflict-count" -> conflicts.toString,
       "quarantine-count" -> quarantined.toString,
-      "touched-buckets" -> touched.size.toString)
+      "touched-buckets" -> touched.size.toString) ++
+      // a truncate drops keys WITHOUT tombstones, so like a tombstone
+      // purge it fences changesBetween ranges that cross it — a replica
+      // must re-bootstrap, not merge a delta over a replaced table
+      (if (truncate)
+        Map("truncate" -> "true",
+          "purge-version" -> (snap.version + 1).toString)
+      else Map.empty)
     // untouched bucket groups carry forward by manifest REFERENCE — commit
     // metadata IO is O(touched), not O(live files) (manifest-list split)
     try table.commitDelta(snap, snap.version + 1, newSchemaId, touched,

@@ -47,6 +47,40 @@ object CdcStream {
     f"$StreamGateKey-${d(0)}%02x${d(1)}%02x${d(2)}%02x${d(3)}%02x"
   }
 
+  /** One-time namespace upgrade (round-3 advice): a checkpoint that
+    * already committed batches under the legacy SHARED `stream-epoch`
+    * gate resumes under its per-checkpoint namespace with no high-water,
+    * so its crash-replayed batch would reapply — state reconverges by
+    * argmax, but metrics.jsonl / ``t$metrics`` would record the batch's
+    * lineage twice. Seed the new namespace from the legacy high-water,
+    * but ONLY when the checkpoint has committed batches (i.e. it really
+    * predates the upgrade): a FRESH checkpoint must not inherit a replay
+    * run's chunk epochs — its Spark batchIds start at 0 and an inherited
+    * gate would silently swallow them (the exact bug the per-checkpoint
+    * namespaces fixed). For such pre-upgrade mixed histories the seed
+    * reproduces the pre-upgrade gating verbatim — no new failure mode.
+    */
+  private[graft] def seedGateFromLegacy(table: LakeTable,
+      checkpointDir: String): Unit = {
+    val gk = gateKeyFor(checkpointDir)
+    val snap = table.currentSnapshot
+    val commits = Paths.get(checkpointDir, "commits")
+    val hasCommittedBatches = Files.isDirectory(commits) &&
+      !graft.core.Fs.isEmptyDir(commits)
+    if (snap.summary.get(gk).isEmpty && hasCommittedBatches)
+      snap.summary.get(StreamGateKey).foreach { legacy =>
+        try table.updateProperties(Map(gk -> legacy))
+        catch { case e: IllegalStateException =>
+          // lost a commit race: the seed is a best-effort lineage
+          // dedup — without it the replayed batch double-logs lineage
+          // (the documented pre-upgrade window), never corrupts state
+          System.err.println(s"[graft] legacy gate seed for $gk lost a " +
+            s"commit race (${e.getMessage}); replayed pre-upgrade batch " +
+            "may double-log lineage once")
+        }
+      }
+  }
+
   /** Structured Streaming tail of a uniform-schema log directory. Besides
     * the per-batch lineage in metrics.jsonl, Spark's own trigger progress
     * (input/processing rates, trigger duration — the LAG side of the
@@ -69,6 +103,7 @@ object CdcStream {
       quarantineDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val table = LakeTable.load(spark, tableDir)
+    seedGateFromLegacy(table, checkpointDir) // pre-upgrade checkpoints only
     val eventSchema = chunkSchema(schemaVersion)
     val events = spark.readStream
       .schema(eventSchema)
@@ -183,30 +218,45 @@ object CdcStream {
     // writes, without breaking the sequential snapshot chain. They run in
     // a separate FAIR pool (when spark.scheduler.mode=FAIR) so the big
     // prefetch scan cannot starve batch k's critical-path tasks.
-    var prepared: Option[(DataFrame, DataFrame)] = None
+    //
+    // The winners plan is built AFTER the key plan materializes, so its
+    // join strategy comes from the REAL key count (Merge.winnersBroadcast
+    // — an over-sized chunk degrades to a shuffled semi-join instead of
+    // OOMing the driver). That puts plan construction inside the future;
+    // the consume-site Await is bounded by work the merge would otherwise
+    // do on its own critical path.
+    var prepared: Option[Future[(DataFrame, DataFrame)]] = None
+    import scala.concurrent.duration.Duration
     chunks.zipWithIndex.map { case ((i, v, path), idx) =>
       val batch = readChunk(v, path)
-      val pk = prepared
-      prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
-        val nextBatch = readChunk(nv, np)
-        val nextPk = Merge.prepareKeys(nextBatch).persist()
-        val nextWin = Merge.prepareWinners(nextBatch, nextPk).persist()
-        val fut = Future { // materialize both caches in the background
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
-          try { nextPk.count(); nextWin.count() }
-          finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-        }
-        // a swallowed prefetch failure would silently degrade to
-        // unpipelined execution (or resurface confusingly on the critical
-        // path) — surface it, and drop the caches so the critical-path
-        // recompute starts clean (round-1 advice)
-        fut.failed.foreach { e =>
+      // a failed prefetch degrades to unpipelined execution — surfaced,
+      // never silently swallowed (round-1 advice); its caches are dropped
+      // inside the future so the critical-path recompute starts clean
+      val pk: Option[(DataFrame, DataFrame)] = prepared.flatMap { f =>
+        try Some(scala.concurrent.Await.result(f, Duration.Inf))
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(
-            s"[graft] prefetch for chunk ${i + 1} failed (${e.getClass.getSimpleName}: " +
+            s"[graft] prefetch for chunk $i failed (${e.getClass.getSimpleName}: " +
               s"${e.getMessage}) — batch will recompute on the critical path")
-          nextPk.unpersist(); nextWin.unpersist()
+          None
         }
-        (nextPk, nextWin)
+      }
+      prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
+          try {
+            val nextBatch = readChunk(nv, np)
+            val nextPk = Merge.prepareKeys(nextBatch).persist()
+            try {
+              val nKeys = nextPk.count()
+              val nextWin = Merge.prepareWinners(nextBatch, nextPk, Some(nKeys))
+                .persist()
+              try { nextWin.count(); (nextPk, nextWin) }
+              catch { case e: Throwable => nextWin.unpersist(); throw e }
+            } catch { case e: Throwable => nextPk.unpersist(); throw e }
+          } finally
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
       }
       val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),

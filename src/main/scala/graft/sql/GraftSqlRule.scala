@@ -68,11 +68,25 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(t.pinVersion.isEmpty,
           "cannot INSERT INTO a time-travel (VERSION AS OF) relation")
         GraftInsertCommand(t.dir, a.query, a.isByName)
-      case o: OverwriteByExpression if graftTarget(o.table).isDefined =>
-        throw new UnsupportedOperationException(
-          "INSERT OVERWRITE is not supported on graft tables: appends are " +
-            "epoch-gated upserts (INSERT INTO) and row-level changes go " +
-            "through the canonical MERGE INTO")
+      // K2 truncate-and-replace (reference: bq_table_upload(...,
+      // WRITE_TRUNCATE), /root/reference/upload_data/Teams/
+      // upload_team_tables.R:67-80): full INSERT OVERWRITE lowers to the
+      // engine's epoch-gated full-rewrite commit. Only the truncate form
+      // (deleteExpr = true) is a graft operation; a filtered overwrite is
+      // row-level surgery and stays rejected with guidance.
+      case o: OverwriteByExpression if graftTarget(o.table).isDefined &&
+          o.query.resolved =>
+        val t = graftTarget(o.table).get
+        require(t.pinVersion.isEmpty,
+          "cannot INSERT OVERWRITE a time-travel (VERSION AS OF) relation")
+        o.deleteExpr match {
+          case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+            GraftOverwriteCommand(t.dir, o.query, o.isByName)
+          case other => throw new UnsupportedOperationException(
+            "only full INSERT OVERWRITE (truncate-and-replace) is " +
+              s"supported on graft tables; partial overwrite by " +
+              s"${other.sql} is row-level surgery — use MERGE INTO")
+        }
       case c: CreateTableAsSelect if isGraftCtas(c) && c.query.resolved =>
         val r = c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
         val props = c.tableSpec match {
@@ -240,7 +254,8 @@ private[sql] object GraftWrites {
     * changelog relies on.
     */
   def applyAndLog(session: SparkSession, table: LakeTable,
-      mkBatch: Long => org.apache.spark.sql.DataFrame, epoch: Long): Seq[Row] = {
+      mkBatch: Long => org.apache.spark.sql.DataFrame, epoch: Long,
+      truncate: Boolean = false): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     def once(e: Long): scala.Either[Throwable, graft.cdc.MergeStats] =
       try {
@@ -248,7 +263,8 @@ private[sql] object GraftWrites {
         scala.Right(Merge.applyBatch(classic, table, batch, e,
           batchSchemaVersion = inferSchemaVersion(table, batch.schema),
           // session-conf knobs, same surface the CLI exposes as flags
-          quarantineDir = session.conf.getOption("graft.merge.quarantineDir")))
+          quarantineDir = session.conf.getOption("graft.merge.quarantineDir"),
+          truncate = truncate))
       } catch {
         // loser of a mid-merge commit race: the commit dir is abandoned
         // (gc collects it) and the merge is safely re-runnable
@@ -381,6 +397,35 @@ case class GraftInsertCommand(tableDir: String, source: LogicalPlan,
     GraftWrites.applyAndLog(session, table,
       e => GraftWrites.toEvents(aligned, e),
       GraftWrites.allocatedEpoch(session, table))
+  }
+}
+
+/** Eagerly-executed `INSERT OVERWRITE TABLE graft.t SELECT …` — K2
+  * truncate-and-replace as one epoch-gated, lineage-stamped full-rewrite
+  * commit: the query's rows become the table's complete state (banded
+  * synthetic LSNs like INSERT; within-batch duplicates still resolve by
+  * latest-wins so the one-row-per-url invariant holds), the snapshot is
+  * stamped `truncate=true`, and the purge-version fence advances because
+  * dropped keys leave no tombstones for the changelog. An EMPTY source is
+  * a gated no-op (the engine never publishes zero-event epochs) — to
+  * empty a table, drop and recreate it.
+  */
+case class GraftOverwriteCommand(tableDir: String, source: LogicalPlan,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = LakeTable.load(session, tableDir)
+    val src = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, source)
+    val target = table.registrySchemaFor(table.currentSnapshot.schemaId)
+    val aligned = GraftWrites.alignInsert(src, target, byName)
+    GraftWrites.applyAndLog(session, table,
+      e => GraftWrites.toEvents(aligned, e),
+      GraftWrites.allocatedEpoch(session, table), truncate = true)
   }
 }
 

@@ -89,6 +89,56 @@ class CdcEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("auto winner-join strategy: an over-threshold batch takes the " +
+    "shuffled path without conf intervention") {
+    // the pure decision: broadcast only when the key count is KNOWN small
+    assert(Merge.winnersBroadcast(spark, Some(1000L)))
+    assert(Merge.winnersBroadcast(spark, None)) // unknowable: bounded by batch sizing
+    assert(!Merge.winnersBroadcast(spark, Some(10000001L)))
+    // explicit conf overrides both directions
+    spark.conf.set("graft.merge.broadcastWinners", "true")
+    try assert(Merge.winnersBroadcast(spark, Some(Long.MaxValue)))
+    finally spark.conf.unset("graft.merge.broadcastWinners")
+
+    // plan shape: over the threshold, prepareWinners emits NO broadcast
+    // hint — the planner picks a shuffled semi-join on its own
+    val ev = ChangeGen.events(spark, cfg)
+    val pk = Merge.prepareKeys(ev)
+    def hasBroadcastHint(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }.nonEmpty
+    assert(hasBroadcastHint(Merge.prepareWinners(ev, pk, Some(100L))))
+    assert(!hasBroadcastHint(Merge.prepareWinners(ev, pk, Some(20000000L))))
+
+    // end to end: with a lowered threshold the prefetch's materialized
+    // key count pushes every chunk over it — replay still reaches the
+    // exact brute-force state through the shuffled winners join
+    spark.conf.set("graft.merge.broadcastWinnersMaxKeys", "10")
+    try {
+      val t = replayInto(4)
+      assertSameSet(t.readUser(), bruteForce())
+
+      // prune path: a small batch against the built table carries its
+      // synchronous stats count (15 keys > 10) into the same auto
+      // decision; the shuffled merge applies correctly
+      import spark.implicits._
+      val ts0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val batch = (1 to 15).map(i =>
+        (900000L + i, "U", s"http://auto-$i.test/", ts0,
+          null: Array[Byte], s"auto $i", "en", 6L))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+      val s = Merge.applyBatch(spark, t, batch,
+        epoch = t.lastCommittedEpoch.get + 1, batchSchemaVersion = 3,
+        batchBytesHint = Some(1L)) // hint ≪ table → prune path
+      assert(s.applied && s.eventsIn == 15)
+      assert(t.readUser().filter(col("url").startsWith("http://auto-"))
+        .count() == 15)
+    } finally spark.conf.unset("graft.merge.broadcastWinnersMaxKeys")
+  }
+
   test("idempotency: re-replaying a fully-applied log is a no-op") {
     val logDir = TestSpark.tempDir("log")
     val tableDir = TestSpark.tempDir("table")

@@ -256,13 +256,6 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(s.sql("SELECT count(*) FROM graft.`ins_copy$history`")
         .head().getLong(0) == 2L) // still create + first epoch only
 
-      // INSERT OVERWRITE is rejected with guidance, not silently lowered
-      val e = intercept[Exception] {
-        s.sql("""INSERT OVERWRITE graft.ins_pages VALUES
-          |  ('http://z', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'z', 'en', 1L)""".stripMargin)
-      }
-      assert(e.getMessage.contains("INSERT OVERWRITE"))
-
       // INSERT with an explicit column list: unnamed columns null-backfill
       s.sql("""INSERT INTO graft.ins_pages (url, warc_ts, text)
         |VALUES ('http://d', TIMESTAMP '2024-01-04 00:00:00', 'text d')""".stripMargin)
@@ -270,6 +263,62 @@ class GraftSqlSpec extends AnyFunSuite {
       val d = s.sql("SELECT lang, text FROM graft.ins_pages WHERE url = 'http://d'")
         .head()
       assert(d.isNullAt(0) && d.getString(1) == "text d")
+    }
+  }
+
+  test("INSERT OVERWRITE truncates and replaces via the full-rewrite commit") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqlovwh")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""CREATE TABLE graft.ow_pages (
+        |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+        |  text STRING, lang STRING, content_len BIGINT)
+        |TBLPROPERTIES ('buckets' = '4')""".stripMargin)
+      s.sql("""INSERT INTO graft.ow_pages VALUES
+        |  ('http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  ('http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'de', 6L)""".stripMargin)
+        .collect()
+
+      // K2: the SELECT's rows become the COMPLETE table state — a and b
+      // are gone without tombstones; z (a within-batch duplicate) resolves
+      // latest-wins so the one-row-per-url invariant holds
+      val r = s.sql("""INSERT OVERWRITE graft.ow_pages VALUES
+        |  ('http://z', TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS BINARY), 'z v1', 'en', 4L),
+        |  ('http://z', TIMESTAMP '2024-02-02 00:00:00', CAST(NULL AS BINARY), 'z v2', 'en', 4L),
+        |  ('http://y', TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS BINARY), 'y', 'fr', 1L)""".stripMargin)
+        .collect().head
+      assert(r.getAs[Boolean]("applied") && r.getAs[Long]("events_in") == 3
+        && r.getAs[Long]("rows_applied") == 2 && r.getAs[Long]("conflicts") == 1)
+      assert(s.sql("SELECT url, text FROM graft.ow_pages ORDER BY url")
+        .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+        == Seq(("http://y", "y"), ("http://z", "z v2")))
+
+      // lineage: the overwrite snapshot is marked truncate=true and
+      // advances the purge-version fence (dropped keys left no tombstones)
+      val hist = s.sql("""SELECT version, summary['truncate'],
+        |summary['purge-version'] FROM graft.`ow_pages$history`
+        |ORDER BY version""".stripMargin).collect()
+      val ow = hist.last
+      assert(ow.getString(1) == "true" && ow.getString(2) == ow.getInt(0).toString)
+      // changelogs crossing the overwrite refuse; from the overwrite
+      // forward (and the bootstrap) stay valid
+      val t = graft.lake.LakeTable.load(s, s"$wh/ow_pages")
+      val v = t.currentVersion
+      val pe = intercept[IllegalStateException] { t.changesBetween(v - 1, v).count() }
+      assert(pe.getMessage.contains("purge"))
+      assert(t.changesBetween(v, v).count() == 0)
+      assert(t.changesBetween(-1, v).count() == 2)
+
+      // exactly-once: replaying the overwrite at its pinned epoch no-ops
+      val epoch = r.getAs[Long]("epoch")
+      s.conf.set("graft.merge.epoch", epoch.toString)
+      try {
+        val r2 = s.sql("""INSERT OVERWRITE graft.ow_pages VALUES
+          |  ('http://q', TIMESTAMP '2024-03-01 00:00:00', CAST(NULL AS BINARY), 'q', 'en', 1L)""".stripMargin)
+          .collect().head
+        assert(!r2.getAs[Boolean]("applied"))
+        assert(s.sql("SELECT count(*) FROM graft.ow_pages").head().getLong(0) == 2L)
+      } finally s.conf.unset("graft.merge.epoch")
     }
   }
 

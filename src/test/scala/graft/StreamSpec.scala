@@ -153,6 +153,47 @@ class StreamSpec extends AnyFunSuite {
     assert(fingerprint(tB) == fingerprint(tA))
   }
 
+  test("gate upgrade: a pre-upgrade checkpoint seeds its namespace from " +
+    "the legacy shared gate; fresh checkpoints never inherit it") {
+    import spark.implicits._
+    val tableDir = TestSpark.tempDir("seed-table")
+    val t = LakeTable.create(spark, tableDir, schemaId = 3, numBuckets = 4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def batch(lsn: Long, url: String) =
+      Seq((lsn, "U", url, ts, null: Array[Byte], s"text $lsn", "en", 6L))
+        .toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    // legacy history: batches 0..2 committed under the SHARED gate (what a
+    // pre-upgrade tail wrote), and the checkpoint has committed batches
+    (0 to 2).foreach { e =>
+      assert(Merge.applyBatch(spark, t, batch(e, s"http://u$e"), e, 3,
+        gateKey = CdcStream.StreamGateKey).applied)
+    }
+    val oldCk = TestSpark.tempDir("seed-ck-old")
+    Files.createDirectories(Paths.get(oldCk, "commits"))
+    Files.writeString(Paths.get(oldCk, "commits", "2"), "v1")
+
+    CdcStream.seedGateFromLegacy(t, oldCk)
+    val gk = CdcStream.gateKeyFor(oldCk)
+    assert(t.currentSnapshot.summary.get(gk).contains("2"))
+    // the crash-replayed pre-upgrade batch now gates instead of reapplying
+    assert(!Merge.applyBatch(spark, t, batch(2, "http://u2"), 2, 3,
+      gateKey = gk).applied)
+    assert(Merge.applyBatch(spark, t, batch(3, "http://u3"), 3, 3,
+      gateKey = gk).applied)
+    // seeding is one-time: the namespace now exists, re-seed is a no-op
+    val v = t.currentVersion
+    CdcStream.seedGateFromLegacy(t, oldCk)
+    assert(t.currentVersion == v)
+
+    // a FRESH checkpoint (no committed batches) must NOT inherit the
+    // legacy high-water — its batchIds start at 0 and would be swallowed
+    val freshCk = TestSpark.tempDir("seed-ck-fresh")
+    CdcStream.seedGateFromLegacy(t, freshCk)
+    assert(t.currentSnapshot.summary.get(CdcStream.gateKeyFor(freshCk)).isEmpty)
+    assert(Merge.applyBatch(spark, t, batch(10, "http://u10"), 0, 3,
+      gateKey = CdcStream.gateKeyFor(freshCk)).applied)
+  }
+
   test("epoch namespaces: a batch merge between stream batches cannot swallow them") {
     import spark.implicits._
     val dir = TestSpark.tempDir("nsTable")
