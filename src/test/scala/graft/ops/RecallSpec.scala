@@ -34,6 +34,78 @@ class RecallSpec extends AnyFunSuite {
     assert(one.nonEmpty && two.size < 1000)
   }
 
+  test("width knobs cut candidate volume while exact-duplicate recall holds") {
+    val spark0 = spark
+    // --- MinHash band width: (8 hashes, 4-row bands) vs (16, 8-row) ---
+    // plant exact duplicates (identical text => identical signatures at
+    // ANY width — their recall must be exactly 100% both settings) on top
+    // of the natural corpus, which carries the mid-sim pairs whose
+    // candidates the wider bands are supposed to shed
+    val nPlant = 40
+    val nMid = 100
+    val plant: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val exactTwins = df.filter(col("doc_id") < nPlant)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        // mid-similarity twins (shingle-jaccard ~0.6): the original text
+        // plus ~50% unique filler tokens — these are the borderline pairs
+        // a 4-row band catches and an 8-row band is supposed to shed
+        val toks = split(trim(col("text")), "\\s+")
+        val filler = concat_ws(" ",
+          transform(sequence(lit(1), greatest((size(toks) / 2).cast("int"), lit(1))),
+            i => concat_ws("", lit("zz"), col("doc_id").cast("string"),
+              lit("x"), i.cast("string"))))
+        val midTwins = df.filter(col("doc_id") < nMid)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat_ws(" ", col("text"), filler).as("text"))
+        df.select(col("doc_id"), col("text"))
+          .unionByName(exactTwins).unionByName(midTwins)
+      }
+    val sh = SimilarityQueries.docShingles(spark0, "/root/testdata/sf0.01", plant)
+      .persist()
+    try {
+      def cand(nHashes: Int, nBands: Int): Set[(Long, Long)] =
+        SimilarityQueries.lshCandidatePairsFrom(
+          SimilarityQueries.minhashBandsFrom(sh, nHashes, nBands))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val narrow = cand(8, 2)
+      val wide = cand(16, 2)
+      val plantedPairs = (0L until nPlant).map(i => (i, i + 500000L)).toSet
+      assert(plantedPairs.subsetOf(narrow) && plantedPairs.subsetOf(wide),
+        "exact-duplicate recall must be 100% at both widths")
+      assert(wide.size < narrow.size,
+        s"8-row bands must shed candidates: wide=${wide.size} narrow=${narrow.size}")
+    } finally sh.unpersist()
+
+    // --- hyperplane count: 8 planes (256 buckets) vs 10 (1024) ---
+    import spark0.implicits._
+    val base = spark0.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    // candidate volume = in-bucket pair count over the perturbed plant
+    val perturbed = SimilarityQueries.plantPerturbed(base).persist()
+    try {
+      def candVolume(nPlanes: Int): Long = {
+        val b = perturbed.select(col("vec_id"),
+          SimilarityQueries.bucketOf(col("e"), 0, nPlanes).as("bk"))
+        b.groupBy("bk").count()
+          .agg(sum(expr("`count` * (`count` - 1) DIV 2"))).head().getLong(0)
+      }
+      val v8 = candVolume(8)
+      val v10 = candVolume(10)
+      assert(v10 < v8,
+        s"1024 buckets must cut in-bucket pair volume: v10=$v10 v8=$v8")
+    } finally perturbed.unpersist()
+    // exact copies land in identical buckets in every table at every
+    // width — recall of exact dups through the FULL verify is 100%
+    val exact = base.unionByName(
+      base.select((col("vec_id") + 2000000L).as("vec_id"), col("e")))
+    def exactRecovered(nPlanes: Int): Long =
+      SimilarityQueries.lshNearDupPairs(exact, nTables = 2, nPlanes = nPlanes)
+        .filter(col("id_b") === col("id_a") + 2000000L).count()
+    val total = base.count()
+    assert(exactRecovered(8) == total && exactRecovered(10) == total)
+  }
+
   test("multi-probe IVF recovers a Voronoi-boundary neighbor that " +
     "single-probe misses") {
     // engineered 2-D fixture: the query IS centroid 0 (unit x-axis); its
