@@ -123,7 +123,8 @@ object Main {
           },
           intervalMs = interval, durationMs = duration,
           rebootstrap = opts.contains("rebootstrap"))
-        emitted.map(e => s"emitted ${if (e.from == -1) "bootstrap" else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
+        emitted.map(e => s"emitted ${if (e.from == -1) "bootstrap "
+          else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
           report(spark, table)
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move

@@ -21,7 +21,12 @@ final case class MergeStats(
     lsnMax: Long,
     touchedBuckets: Int,
     wallMs: Long,
-    quarantined: Long = 0L)
+    quarantined: Long = 0L,
+    // true ONLY for the exactly-once gate's not-applied return — callers
+    // that retry swallowed epochs (SQL auto-allocation) must distinguish
+    // it from a genuinely-empty batch's not-applied, which is a correct
+    // no-op even while rival commits advance the table (round-4 review)
+    gated: Boolean = false)
 
 /** Join-free copy-on-write MERGE INTO the lake table (SURVEY.md §4.3).
   *
@@ -152,7 +157,7 @@ object Merge {
     if (table.lastCommittedEpoch(snap, gateKey).exists(_ >= epoch)) {
       unprepare()
       return MergeStats(epoch, applied = false, 0, 0, 0, 0, -1, -1, 0,
-        (System.nanoTime() - t0) / 1000000)
+        (System.nanoTime() - t0) / 1000000, gated = true)
     }
 
     // 2. schema evolution via the registry (resolved THROUGH the table so
@@ -260,11 +265,18 @@ object Merge {
     //    is a pure argmax over the whole log, independent of batch
     //    boundaries (replay convergence, §7.4 #1).
     // statsWall marks the prune path, whose stats future is already
-    // complete — its nKeys is free; the full-rewrite path's stats are
-    // still in flight and are NOT awaited here (the plan-build barrier is
-    // what the async design removes)
+    // complete — its nKeys is free. The incremental full-rewrite path's
+    // stats are still in flight and are NOT awaited (the plan-build
+    // barrier is what the async design removes; micro-batch sizing
+    // bounds its winner set). TRUNCATE is the exception (round-4
+    // review): an INSERT OVERWRITE has no micro-batch sizing knob and
+    // its SELECT can carry arbitrarily many keys, while its current-rows
+    // side is empty — so the one narrow stats pass is awaited and the
+    // winner join sizes itself from the real count.
     val syncKeys: Option[Long] =
       if (statsWall) Some(Await.result(stats, Duration.Zero).getAs[Long]("nKeys"))
+      else if (truncate && preparedWinners.isEmpty)
+        Option(Await.result(stats, Duration.Inf).getAs[Long]("nKeys"))
       else None
     val winnersRaw = preparedWinners.getOrElse(
       prepareWinners(rawBatch, perKeyPlan, syncKeys))

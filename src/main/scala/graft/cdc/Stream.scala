@@ -65,11 +65,29 @@ object CdcStream {
     val gk = gateKeyFor(checkpointDir)
     val snap = table.currentSnapshot
     val commits = Paths.get(checkpointDir, "commits")
-    val hasCommittedBatches = Files.isDirectory(commits) &&
-      !graft.core.Fs.isEmptyDir(commits)
-    if (snap.summary.get(gk).isEmpty && hasCommittedBatches)
-      snap.summary.get(StreamGateKey).foreach { legacy =>
-        try table.updateProperties(Map(gk -> legacy))
+    val maxCommitted: Option[Long] =
+      if (!Files.isDirectory(commits)) None
+      else graft.core.Fs.list(commits)
+        .flatMap(_.getFileName.toString.toLongOption)
+        .maxOption
+    if (snap.summary.get(gk).isEmpty)
+      for {
+        b <- maxCommitted // fresh checkpoints (no batches) never seed
+        legacy <- snap.summary.get(StreamGateKey).map(_.toLong)
+        // SOUNDNESS GUARD (round-4 review): seed only when the legacy
+        // high-water is consistent with THIS checkpoint's own history —
+        // a pure pre-upgrade tail leaves legacy ∈ {B, B+1} (the last
+        // applied batchId; +1 when it crashed between applyBatch and the
+        // checkpoint commit, which is exactly the replayed batch the
+        // seed must gate). A legacy high-water ABOVE B+1 was inflated by
+        // a chunk replay sharing the old namespace; seeding from it
+        // would silently swallow this tail's real future batches (data
+        // loss, not lineage dup) — so we refuse and accept the one-time
+        // duplicate-lineage window instead (reprocess-over-swallow, the
+        // same bias as the per-checkpoint namespace design itself).
+        if legacy <= b + 1
+      } {
+        try table.updateProperties(Map(gk -> legacy.toString))
         catch { case e: IllegalStateException =>
           // lost a commit race: the seed is a best-effort lineage
           // dedup — without it the replayed batch double-logs lineage

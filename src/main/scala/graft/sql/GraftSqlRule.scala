@@ -283,9 +283,15 @@ private[sql] object GraftWrites {
     // surfaces as the error it is.
     var attempt = once(epoch)
     var retries = 0
+    // s.gated (not a re-derived lastCommittedEpoch comparison): a
+    // genuinely-EMPTY batch also returns !applied, and on a busy table a
+    // rival's commits always advance the global epoch — the old
+    // comparison re-ran the empty statement 5 times and then threw a
+    // spurious contention error (round-4 review). Only the gate's own
+    // verdict marks a swallowed epoch.
     def gateSwallowed(r: scala.Either[Throwable, graft.cdc.MergeStats]): Boolean =
       r match {
-        case scala.Right(s) => !s.applied && table.lastCommittedEpoch.exists(_ >= s.epoch)
+        case scala.Right(s) => s.gated
         case scala.Left(_) => true
       }
     while (gateSwallowed(attempt) && !epochPinned(session) && retries < 5) {
@@ -459,13 +465,19 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     // EMPTY table — a rerun without IF NOT EXISTS would then die with
     // TableAlreadyExists instead of retrying the load (round-3 advice).
     // Drop the just-created identifier before rethrowing so a failed CTAS
-    // is cleanly re-runnable.
+    // is cleanly re-runnable. GUARD (round-4 review): only while the
+    // table still holds nothing beyond the empty create (version 0) — a
+    // failure AFTER the first commit (e.g. the metrics append threw), or
+    // after a concurrent writer landed an epoch, must never recursively
+    // delete committed data.
     try GraftWrites.applyAndLog(session, table,
       e => GraftWrites.toEvents(src, e),
       GraftWrites.allocatedEpoch(session, table))
     catch { case e: Throwable =>
-      try catalog.dropTable(ident)
-      catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+      try {
+        if (LakeTable.load(session, created.dir).currentVersion == 0)
+          catalog.dropTable(ident)
+      } catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
       throw e
     }
   }

@@ -266,6 +266,37 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("failed CTAS is cleanly re-runnable; an empty INSERT is a calm no-op") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqlctasf")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // the CTAS query fails at WRITE time (analysis is clean) — the
+      // just-created empty table must be dropped so the retry can run
+      intercept[Exception] {
+        s.sql("""CREATE TABLE graft.ctas_f AS SELECT
+          |  'http://x' AS url, TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+          |  CAST(NULL AS BINARY) AS html,
+          |  CAST(raise_error('boom') AS STRING) AS text,
+          |  'en' AS lang, 1L AS content_len""".stripMargin).collect()
+      }
+      assert(!graft.lake.LakeTable.exists(s"$wh/ctas_f"))
+      s.sql("""CREATE TABLE graft.ctas_f AS SELECT
+        |  'http://x' AS url, TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+        |  CAST(NULL AS BINARY) AS html, 'ok' AS text,
+        |  'en' AS lang, 2L AS content_len""".stripMargin).collect()
+      assert(s.sql("SELECT text FROM graft.ctas_f").head().getString(0) == "ok")
+
+      // a genuinely-empty INSERT reports applied=false without retrying
+      // or raising a spurious contention error (the gate's own verdict,
+      // not an epoch comparison, classifies swallowed writes)
+      val r = s.sql(
+        "INSERT INTO graft.ctas_f SELECT * FROM graft.ctas_f WHERE 1 = 0")
+        .collect().head
+      assert(!r.getAs[Boolean]("applied") && r.getAs[Long]("events_in") == 0)
+      assert(s.sql("SELECT count(*) FROM graft.ctas_f").head().getLong(0) == 1L)
+    }
+  }
+
   test("INSERT OVERWRITE truncates and replaces via the full-rewrite commit") {
     withSqlSession { s =>
       val wh = TestSpark.tempDir("sqlovwh")

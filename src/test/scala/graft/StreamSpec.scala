@@ -192,6 +192,21 @@ class StreamSpec extends AnyFunSuite {
     assert(t.currentSnapshot.summary.get(CdcStream.gateKeyFor(freshCk)).isEmpty)
     assert(Merge.applyBatch(spark, t, batch(10, "http://u10"), 0, 3,
       gateKey = CdcStream.gateKeyFor(freshCk)).applied)
+
+    // a REPLAY-inflated legacy high-water (chunk epochs far above this
+    // checkpoint's own committed batches) must refuse to seed: gating a
+    // tail's future batches from it would be silent data loss, strictly
+    // worse than the duplicate-lineage window the seed exists to close
+    assert(Merge.applyBatch(spark, t, batch(11, "http://u11"), 40, 3,
+      gateKey = CdcStream.StreamGateKey).applied) // "replay" pushes legacy to 40
+    val mixedCk = TestSpark.tempDir("seed-ck-mixed")
+    Files.createDirectories(Paths.get(mixedCk, "commits"))
+    Files.writeString(Paths.get(mixedCk, "commits", "0"), "v1")
+    CdcStream.seedGateFromLegacy(t, mixedCk)
+    val mixedGk = CdcStream.gateKeyFor(mixedCk)
+    assert(t.currentSnapshot.summary.get(mixedGk).isEmpty)
+    assert(Merge.applyBatch(spark, t, batch(12, "http://u12"), 1, 3,
+      gateKey = mixedGk).applied) // the tail's batch 1 is NOT swallowed
   }
 
   test("epoch namespaces: a batch merge between stream batches cannot swallow them") {
