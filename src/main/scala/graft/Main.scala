@@ -19,6 +19,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed]
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed \
   *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
+  *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
+  *                                                 --checkpoint /ck/rep.v [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
@@ -101,6 +103,25 @@ object Main {
         // --min-age-sec 0 only when no writer can be active
         val minAge = opts.get("min-age-sec").map(_.toLong * 1000).getOrElse(3600000L)
         Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table), minAge)} files")
+      case "replicate" =>
+        // CDC OUT, applied: tail the source's changelog INTO a replica
+        // lake table (auto-created on first run). Default drains to
+        // caught-up and exits; --follow keeps tailing. Bootstrap (fresh
+        // checkpoint, or --rebootstrap after retention/purge) applies as
+        // truncate-and-replace.
+        val src = opts.getOrElse("source",
+          sys.error("replicate requires --source <dir>"))
+        val ck = opts.getOrElse("checkpoint",
+          sys.error("replicate requires --checkpoint <file>"))
+        val interval = (opts.get("interval").map(_.toDouble).getOrElse(5.0) * 1000).toLong
+        val duration = opts.get("duration-sec").map(d => (d.toDouble * 1000).toLong)
+        val emitted = graft.cdc.ChangeFeed.replicate(spark, src, table, ck,
+          intervalMs = interval, durationMs = duration,
+          until = () => !opts.contains("follow"),
+          rebootstrap = opts.contains("rebootstrap"))
+        emitted.map(e => s"applied ${if (e.from == -1) "bootstrap "
+          else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
+          report(spark, table)
       case "changes" if opts.contains("follow") =>
         // CDC OUT, continuous: tail the changelog — per poll, emit the
         // delta since the checkpointed version into a range-keyed parquet
@@ -148,7 +169,7 @@ object Main {
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|changes|compact|expire|gc|show)")
+          "(create|tail|replay|merge|changes|replicate|compact|expire|gc|show)")
     }
   }
 

@@ -92,6 +92,82 @@ object ChangeFeed {
     Some(Emitted(effFrom, current, rows))
   }
 
+  /** Replicate a source lake table into a replica lake table by tailing
+    * its changelog — the whole CDC-out consumer as one call (CLI:
+    * `replicate`). Per emission the delta is applied through the
+    * replica's own argmax merge at epoch = the emitted `to` version in a
+    * per-checkpoint gate namespace, so a crash between consume and
+    * checkpoint re-applies idempotently (the same exactly-once shape as
+    * the binlog tail). A `from = -1` emission (fresh feed, or a
+    * retention/purge rebootstrap) applies as a TRUNCATE — replace-state,
+    * the only correct resync, because a merge-applied full snapshot
+    * cannot delete rows the source dropped. One rare corner stays
+    * documented rather than handled: a bootstrap of a source purged to
+    * EMPTY no-ops (the engine never publishes zero-event epochs), so a
+    * stale non-empty replica of a fully-emptied source keeps its rows.
+    *
+    * Schema evolution follows automatically: operationally-minted
+    * schema files (ALTER TABLE) are copied from the source's registry
+    * dir before each apply, so the replica resolves the source's
+    * schemaId exactly like a second reader of the same table would.
+    */
+  def replicate(spark: SparkSession, sourceDir: String, replicaDir: String,
+      checkpointFile: String,
+      intervalMs: Long = 5000L,
+      durationMs: Option[Long] = None,
+      until: () => Boolean = () => false,
+      rebootstrap: Boolean = false): Seq[Emitted] = {
+    val source = LakeTable.load(spark, sourceDir)
+    if (!LakeTable.exists(replicaDir)) {
+      val s = source.currentSnapshot
+      LakeTable.create(spark, replicaDir, schemaId = s.schemaId,
+        numBuckets = s.numBuckets)
+      syncMintedSchemas(sourceDir, replicaDir)
+    }
+    val replica = LakeTable.load(spark, replicaDir)
+    val gateKey = CdcStream.gateKeyFor(checkpointFile)
+    follow(spark, sourceDir, checkpointFile,
+      onDelta = (from, to, delta) => {
+        syncMintedSchemas(sourceDir, replicaDir)
+        val batch = delta
+          .withColumnRenamed(graft.core.Schemas.LsnCol, "lsn")
+          .withColumnRenamed(graft.core.Schemas.OpCol, "op")
+        val stats = Merge.applyBatch(spark, replica, batch,
+          epoch = to.toLong,
+          batchSchemaVersion = source.snapshot(to).schemaId,
+          gateKey = gateKey,
+          truncate = from == -1)
+        if (stats.applied) Metrics.append(replicaDir, stats)
+        stats.rowsApplied
+      },
+      intervalMs = intervalMs, durationMs = durationMs, until = until,
+      rebootstrap = rebootstrap)
+  }
+
+  /** Copy operationally-minted schema files (meta/schemas/s<id>.json,
+    * immutable once committed) the replica does not have yet.
+    */
+  private def syncMintedSchemas(sourceDir: String, replicaDir: String): Unit = {
+    val src = Paths.get(sourceDir, "meta", "schemas")
+    if (!Files.isDirectory(src)) return
+    val dst = Paths.get(replicaDir, "meta", "schemas")
+    Files.createDirectories(dst)
+    graft.core.Fs.list(src).foreach { p =>
+      val t = dst.resolve(p.getFileName.toString)
+      if (!Files.exists(t)) {
+        // copy to temp + atomic CREATE_NEW-style publish: a concurrent
+        // replicate of the same pair must not observe a torn schema file
+        val tmp = dst.resolve(s".${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.copy(p, tmp)
+        try Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp) // rival copied it first — same bytes
+        }
+      }
+    }
+  }
+
   /** Follow the changelog until `until()` holds AND the feed is caught
     * up (or `durationMs` elapses, if set). Returns every emission in
     * order. Poll cost on a quiet table is metadata-only, so short

@@ -118,6 +118,74 @@ class MainSpec extends AnyFunSuite {
       dirs.exists(_.startsWith("delta_")), dirs.mkString(","))
   }
 
+  test("CLI replicate mirrors a table through the changelog: bootstrap, " +
+    "minted-schema sync, purge fence, rebootstrap") {
+    import spark.implicits._
+    val src = TestSpark.tempDir("rep-src")
+    val rep = TestSpark.tempDir("rep-dst") + "/replica"
+    val ck = TestSpark.tempDir("rep-ck") + "/rep.v"
+    val t = graft.lake.LakeTable.create(spark, src, schemaId = 3, numBuckets = 4)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    def apply3(lsn: Long, op: String, url: String, when: String, text: String, e: Long) =
+      assert(graft.cdc.Merge.applyBatch(spark, t,
+        Seq((lsn, op, url, ts(when), null: Array[Byte], text, "en",
+          Option(text).map(_.length.toLong).getOrElse(0L))).toDF(cols: _*),
+        e, 3).applied)
+    apply3(1, "U", "http://a", "2024-01-01 00:00:00", "a v1", 0)
+    apply3(2, "U", "http://b", "2024-01-02 00:00:00", "b v1", 1)
+    apply3(3, "D", "http://b", "2024-01-03 00:00:00", null, 2)
+
+    // drain mode: bootstrap emission, replica auto-created, states match
+    val out1 = Main.run(spark, Seq("replicate", "--source", src,
+      "--table", rep, "--checkpoint", ck))
+    assert(out1.exists(_.startsWith("applied bootstrap ")), out1.mkString("; "))
+    val live = (d: graft.lake.LakeTable) => d.readUser().select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val r = graft.lake.LakeTable.load(spark, rep)
+    assert(live(r) == live(t) && live(r) == Set(("http://a", "a v1")))
+
+    // operational schema mint on the SOURCE propagates through the feed
+    val base = t.registrySchemaFor(t.currentSnapshot.schemaId)
+    t.evolveSchema(org.apache.spark.sql.types.StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("fetch_ms",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val minted = t.currentSnapshot.schemaId
+    assert(graft.cdc.Merge.applyBatch(spark, t,
+      Seq((10L, "U", "http://c", ts("2024-02-01 00:00:00"),
+        null: Array[Byte], "c v1", "en", 4L, 777L))
+        .toDF(cols :+ "fetch_ms": _*), 3, minted).applied)
+    val out2 = Main.run(spark, Seq("replicate", "--source", src,
+      "--table", rep, "--checkpoint", ck))
+    assert(out2.exists(_.startsWith("applied v")), out2.mkString("; "))
+    assert(r.currentSnapshot.schemaId == minted)
+    assert(r.readUser().filter($"url" === "http://c")
+      .head().getAs[Long]("fetch_ms") == 777L)
+
+    // purge-tombstones on the source fences the lagging feed...
+    apply3(20, "D", "http://a", "2024-03-01 00:00:00", null, 4)
+    graft.lake.Maintenance.compact(spark, t, purgeTombstones = true)
+    apply3(21, "U", "http://d", "2024-03-02 00:00:00", "d v1", 5)
+    val pe = intercept[IllegalStateException] {
+      Main.run(spark, Seq("replicate", "--source", src,
+        "--table", rep, "--checkpoint", ck))
+    }
+    assert(pe.getMessage.contains("purge"))
+    // ...and --rebootstrap resyncs via truncate-and-replace: the purged
+    // delete of a (never emitted as a delta) still disappears
+    val out3 = Main.run(spark, Seq("replicate", "--source", src,
+      "--table", rep, "--checkpoint", ck, "--rebootstrap"))
+    assert(out3.exists(_.startsWith("applied bootstrap ")), out3.mkString("; "))
+    assert(live(r) == live(t) &&
+      live(r) == Set(("http://c", "c v1"), ("http://d", "d v1")))
+
+    // caught-up rerun: no emissions, nothing moves
+    val v = r.currentVersion
+    val out4 = Main.run(spark, Seq("replicate", "--source", src,
+      "--table", rep, "--checkpoint", ck))
+    assert(!out4.exists(_.startsWith("applied")) && r.currentVersion == v)
+  }
+
   test("CLI arg parser and unknown-command guard") {
     assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
     assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))
