@@ -60,13 +60,12 @@ object Main {
           // that applies files dropped AFTER start without a restart;
           // --duration-sec bounds the run (ops drills, tests), otherwise
           // it tails until externally stopped
-          val interval = opts.get("interval").map(_.toDouble).getOrElse(5.0)
           val q = CdcStream.tail(spark, opts("log"), table, opts("checkpoint"),
             schemaVersion, mftp, quarantineDir = opts.get("quarantine"),
             trigger = org.apache.spark.sql.streaming.Trigger
-              .ProcessingTime((interval * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS))
-          opts.get("duration-sec") match {
-            case Some(d) => q.awaitTermination((d.toDouble * 1000).toLong); q.stop()
+              .ProcessingTime(intervalMs(opts), java.util.concurrent.TimeUnit.MILLISECONDS))
+          durationMs(opts) match {
+            case Some(d) => q.awaitTermination(d); q.stop()
             case None => q.awaitTermination()
           }
         } else {
@@ -113,15 +112,11 @@ object Main {
           sys.error("replicate requires --source <dir>"))
         val ck = opts.getOrElse("checkpoint",
           sys.error("replicate requires --checkpoint <file>"))
-        val interval = (opts.get("interval").map(_.toDouble).getOrElse(5.0) * 1000).toLong
-        val duration = opts.get("duration-sec").map(d => (d.toDouble * 1000).toLong)
         val emitted = graft.cdc.ChangeFeed.replicate(spark, src, table, ck,
-          intervalMs = interval, durationMs = duration,
+          intervalMs = intervalMs(opts), durationMs = durationMs(opts),
           until = () => !opts.contains("follow"),
           rebootstrap = opts.contains("rebootstrap"))
-        emitted.map(e => s"applied ${if (e.from == -1) "bootstrap "
-          else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
-          report(spark, table)
+        emitted.map(emissionLine("applied", _)) ++ report(spark, table)
       case "changes" if opts.contains("follow") =>
         // CDC OUT, continuous: tail the changelog — per poll, emit the
         // delta since the checkpointed version into a range-keyed parquet
@@ -132,8 +127,6 @@ object Main {
           sys.error("changes --follow requires --out <dir>"))
         val ck = opts.getOrElse("checkpoint",
           sys.error("changes --follow requires --checkpoint <file>"))
-        val interval = (opts.get("interval").map(_.toDouble).getOrElse(5.0) * 1000).toLong
-        val duration = opts.get("duration-sec").map(d => (d.toDouble * 1000).toLong)
         val emitted = graft.cdc.ChangeFeed.follow(spark, table, ck,
           onDelta = (from, to, df) => {
             val dir = if (from == -1) s"$out/bootstrap_v$to"
@@ -142,11 +135,9 @@ object Main {
             // count from the written files, not a second plan execution
             spark.read.parquet(dir).count()
           },
-          intervalMs = interval, durationMs = duration,
+          intervalMs = intervalMs(opts), durationMs = durationMs(opts),
           rebootstrap = opts.contains("rebootstrap"))
-        emitted.map(e => s"emitted ${if (e.from == -1) "bootstrap "
-          else s"v${e.from}->"}v${e.to} rows=${e.rows}") ++
-          report(spark, table)
+        emitted.map(emissionLine("emitted", _)) ++ report(spark, table)
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move
         // from snapshot --from to --to (defaults: last commit's delta)
@@ -172,6 +163,16 @@ object Main {
           "(create|tail|replay|merge|changes|replicate|compact|expire|gc|show)")
     }
   }
+
+  /** Shared --interval / --duration-sec parsing of the feed commands. */
+  private def intervalMs(opts: Map[String, String]): Long =
+    (opts.get("interval").map(_.toDouble).getOrElse(5.0) * 1000).toLong
+
+  private def durationMs(opts: Map[String, String]): Option[Long] =
+    opts.get("duration-sec").map(d => (d.toDouble * 1000).toLong)
+
+  private def emissionLine(verb: String, e: graft.cdc.ChangeFeed.Emitted): String =
+    s"$verb ${if (e.from == -1) "bootstrap " else s"v${e.from}->"}v${e.to} rows=${e.rows}"
 
   private def report(spark: SparkSession, dir: String): Seq[String] = {
     val t = LakeTable.load(spark, dir)

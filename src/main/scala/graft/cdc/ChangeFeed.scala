@@ -132,9 +132,15 @@ object ChangeFeed {
         val batch = delta
           .withColumnRenamed(graft.core.Schemas.LsnCol, "lsn")
           .withColumnRenamed(graft.core.Schemas.OpCol, "op")
+        // Catalyst's free size estimate, same as the binlog tail: a
+        // replica catching up through one table-sized delta should take
+        // the async-stats full-rewrite path, not pay the prune path's
+        // blocking stats barrier over every bucket (round-4 review #5)
+        val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
         val stats = Merge.applyBatch(spark, replica, batch,
           epoch = to.toLong,
           batchSchemaVersion = source.snapshot(to).schemaId,
+          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
           gateKey = gateKey,
           truncate = from == -1)
         if (stats.applied) Metrics.append(replicaDir, stats)
@@ -160,9 +166,13 @@ object ChangeFeed {
         val tmp = dst.resolve(s".${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         Files.copy(p, tmp)
         try Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp) // rival copied it first — same bytes
+        catch { case e: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          // only a rival's win is benign (same immutable bytes); any
+          // other move failure must SURFACE — swallowed, every later
+          // apply would die on an unresolvable schemaId with nothing
+          // pointing at the real cause (round-4 review #3)
+          if (!Files.exists(t)) throw e
         }
       }
     }

@@ -239,25 +239,37 @@ object CdcStream {
     //
     // The winners join sizes itself from the most recently APPLIED
     // batch's observed key count (eventsIn - conflicts from its
-    // MergeStats; the prefetch for k+1 is built before batch k applies,
-    // so the estimate lags one batch): log chunks are similarly sized,
-    // so it is a sound estimator for
-    // Merge.winnersBroadcast, and it costs NO barrier — an A/B measured
-    // building the winners plan behind the key-plan count (an Await at
-    // the consume site) at -11% total-wall at 32 cores, because batch
-    // k+1 then cannot start until the whole prefetch completes instead
-    // of overlapping with it. The first chunk has no observation and
-    // keeps the broadcast default (bounded by chunk sizing, same as the
-    // unprepared full-rewrite path).
-    var prepared: Option[(DataFrame, DataFrame)] = None
-    var lastKeys: Option[Long] = None
+    // MergeStats), SCALED by the byte-size ratio of the upcoming chunk to
+    // that batch's chunk — so a sudden much-larger chunk degrades to the
+    // shuffled join instead of blowing the broadcast, closing the
+    // staleness gap of a raw lagged count (round-4 review #2). The
+    // estimator costs NO barrier — an A/B measured building the winners
+    // plan behind the key-plan count (an Await at the consume site) at
+    // -11% total-wall at 32 cores, because batch k+1 then could not
+    // start until the whole prefetch completed instead of overlapping
+    // with it. Chunks 0 (unprepared) and 1 (no observation yet) keep the
+    // broadcast default — the same cold-bootstrap contract as the
+    // unprepared full-rewrite path, bounded by chunk sizing.
+    var prepared: Option[(Future[_], (DataFrame, DataFrame))] = None
+    var lastObs: Option[(Long, Long)] = None // (keys, chunkBytes) of last applied
     chunks.zipWithIndex.map { case ((i, v, path), idx) =>
       val batch = readChunk(v, path)
-      val pk = prepared
+      // a prefetch that has ALREADY failed must not hand over its
+      // (unpersisted) plans — applyBatch would then skip its own
+      // persist() and re-run the narrow key scan once per consumer
+      // (round-4 review #4). An in-flight prefetch hands over normally:
+      // persist() dedups the concurrent materialization, and a late
+      // failure's unpersist only costs recompute.
+      val pk = prepared.collect {
+        case (f, pair) if !f.value.exists(_.isFailure) => pair
+      }
       prepared = chunks.lift(idx + 1).map { case (_, nv, np) =>
         val nextBatch = readChunk(nv, np)
         val nextPk = Merge.prepareKeys(nextBatch).persist()
-        val nextWin = Merge.prepareWinners(nextBatch, nextPk, lastKeys).persist()
+        val keyEstimate = lastObs.collect { case (k, b) if b > 0 =>
+          math.ceil(k.toDouble * pathBytes(np) / b).toLong
+        }
+        val nextWin = Merge.prepareWinners(nextBatch, nextPk, keyEstimate).persist()
         val fut = Future { // materialize both caches in the background
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
           try { nextPk.count(); nextWin.count() }
@@ -273,14 +285,15 @@ object CdcStream {
               s"${e.getMessage}) — batch will recompute on the critical path")
           nextPk.unpersist(); nextWin.unpersist()
         }
-        (nextPk, nextWin)
+        (fut, (nextPk, nextWin))
       }
       val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
         preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2),
         gateKey = StreamGateKey)
       if (stats.applied) Metrics.append(tableDir, stats)
-      if (stats.applied) lastKeys = Some(stats.eventsIn - stats.conflicts)
+      if (stats.applied)
+        lastObs = Some((stats.eventsIn - stats.conflicts, pathBytes(path)))
       stats
     }
   }

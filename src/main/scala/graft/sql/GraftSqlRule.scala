@@ -469,7 +469,13 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     // table still holds nothing beyond the empty create (version 0) — a
     // failure AFTER the first commit (e.g. the metrics append threw), or
     // after a concurrent writer landed an epoch, must never recursively
-    // delete committed data.
+    // delete committed data. The check-then-drop pair is NOT atomic: a
+    // rival epoch landing in the microseconds between the version read
+    // and the delete would still be lost — but writing into a table
+    // whose CTAS is mid-flight is racing the create itself, which no
+    // filesystem-level guard can close; the version check closes every
+    // practical window (post-commit failures, rivals that landed before
+    // the CTAS write failed).
     try GraftWrites.applyAndLog(session, table,
       e => GraftWrites.toEvents(src, e),
       GraftWrites.allocatedEpoch(session, table))
