@@ -21,19 +21,24 @@ object CdcQueries {
 
   import Tables.tbl
 
-  private lazy val mergeEventsDir: String = {
+  private def lakeDir(tag: String): String = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-cdc-merge-events-${ProcessHandle.current().pid()}")
+      s"graft-cdc-$tag-${ProcessHandle.current().pid()}")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.core.Fs.deleteRecursively(p)))
     p.toString
   }
 
+  private lazy val mergeEventsDir: String = lakeDir("merge-events")
+  private lazy val rowLevelDir: String = lakeDir("row-level")
+
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
-  private def freshMergeEventsDir: String = {
-    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(mergeEventsDir))
-    mergeEventsDir
+  private def fresh(dir: String): String = {
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    dir
   }
+
+  private def freshMergeEventsDir: String = fresh(mergeEventsDir)
 
   private def asChangeLog(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").select(
@@ -90,6 +95,54 @@ object CdcQueries {
              |       CAST(floor(value) AS BIGINT) AS last_value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin))
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // Row-level DELETE + UPDATE as CDC (the machinery behind SQL
+    // `DELETE FROM` / `UPDATE` — graft.sql.GraftDeleteCommand /
+    // GraftUpdateCommand run exactly these GraftWrites calls): merge the
+    // full log, then delete every key whose current state is a 'click',
+    // then double the value of every 'view'. The oracle applies the same
+    // two statements to the pure-argmax state — so tombstone-delete
+    // semantics, tie-winning banded LSNs, and in-place update all verify
+    // against DuckDB end to end.
+    QueryDef(
+      "cdc_row_level",
+      (s, dir) => {
+        val log = asChangeLog(s, dir)
+        val t = LakeTable.create(s, fresh(rowLevelDir), schemaId = 3,
+          numBuckets = 8)
+        val hint = log.queryExecution.optimizedPlan.stats.sizeInBytes
+        Merge.applyBatch(s, t, log, 0L, batchSchemaVersion = 3,
+          batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+        // DELETE FROM t WHERE lang = 'click'
+        graft.sql.GraftWrites.applyAndLog(s, t,
+          e => graft.sql.GraftWrites.toEvents(
+            t.readUser().filter(col("lang") === "click")
+              .select("url", "warc_ts"), e, op = "D"),
+          graft.sql.GraftWrites.allocatedEpoch(s, t))
+        // UPDATE t SET content_len = content_len * 2 WHERE lang = 'view'
+        // (built AFTER the delete commits, so it reads post-delete state)
+        graft.sql.GraftWrites.applyAndLog(s, t,
+          e => graft.sql.GraftWrites.toEvents(
+            t.readUser().filter(col("lang") === "view")
+              .withColumn("content_len", col("content_len") * 2), e),
+          graft.sql.GraftWrites.allocatedEpoch(s, t))
+        t.readUser().select(
+          col("url").as("user_key"),
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"))
+      },
+      Some("""WITH state AS (
+             |  SELECT 'user:' || user_id AS user_key, ts AS last_ts,
+             |         event_type AS last_type,
+             |         CAST(floor(value) AS BIGINT) AS last_value
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |  WHERE rn = 1 AND event_type <> 'error')
+             |SELECT user_key, last_ts, last_type,
+             |       CASE WHEN last_type = 'view' THEN last_value * 2
+             |            ELSE last_value END AS last_value
+             |FROM state WHERE last_type <> 'click'""".stripMargin))
   )
 }

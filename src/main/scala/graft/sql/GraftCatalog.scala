@@ -203,8 +203,12 @@ class GraftCatalog extends TableCatalog {
   * columns). Capabilities are intentionally empty: reads are lowered by
   * [[GraftSqlRule]] to the snapshot's parquet files (native vectorized
   * scan) before any capability check runs, and writes go through MERGE.
+  * `TRUNCATE TABLE` is the one statement served natively ([[TruncatableTable]]):
+  * it is a METADATA operation — a new empty snapshot, no data job.
   */
-final case class GraftTable(dir: String, pinVersion: Option[Int] = None) extends Table {
+final case class GraftTable(dir: String, pinVersion: Option[Int] = None)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   lazy val lake: LakeTable = LakeTable.load(SparkSession.active, dir)
   // resolved ONCE per handle: analysis calls schema()/properties()
   // repeatedly, and a per-call re-read could even observe two different
@@ -219,4 +223,43 @@ final case class GraftTable(dir: String, pinVersion: Option[Int] = None) extends
     util.Collections.emptySet()
   override def properties(): util.Map[String, String] =
     pinnedSnapshot.summary.asJava
+
+  /** `TRUNCATE TABLE graft.t` — the K2 primitive as pure metadata: one
+    * empty snapshot committed with an allocated epoch and `truncate=true`.
+    * Unlike INSERT OVERWRITE (whose empty-source case is a gated no-op by
+    * merge contract), TRUNCATE explicitly names the empty end state, so
+    * this is THE way to empty a table without dropping it. Dropped keys
+    * leave no tombstones, so the changelog purge-version fence advances
+    * (a replica delta crossing the truncate must re-bootstrap). Data files
+    * are unreferenced, not deleted — time travel to pre-truncate versions
+    * keeps working until `expire`+`gc`. Commit races against concurrent
+    * writers retry against fresh state, bounded.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinVersion.isEmpty,
+      "cannot TRUNCATE a time-travel (VERSION AS OF) relation")
+    var attempts = 0
+    while (true) {
+      val s = lake.currentSnapshot
+      val epoch = lake.lastCommittedEpoch(s).map(_ + 1L).getOrElse(0L)
+      val summary = LakeTable.inheritLineage(s.summary) ++ Map(
+        "batch-epoch" -> epoch.toString,
+        "last-epoch" -> epoch.toString,
+        "truncate" -> "true",
+        "purge-version" -> (s.version + 1).toString)
+      try {
+        lake.commitDelta(s, s.version + 1, s.schemaId,
+          (0 until s.numBuckets).toSet, Nil, summary)
+        return true
+      } catch {
+        case e: IllegalStateException
+          if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+          attempts += 1
+          if (attempts >= 5) throw new IllegalStateException(
+            s"TRUNCATE $dir lost $attempts consecutive commit races " +
+              "(sustained concurrent-committer contention); retry", e)
+      }
+    }
+    true // unreachable
+  }
 }

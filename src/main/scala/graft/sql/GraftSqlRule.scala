@@ -51,6 +51,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AppendData => relationsOf(a.table)
       case o: OverwriteByExpression => relationsOf(o.table)
       case i: InsertIntoStatement => relationsOf(i.table)
+      case d: DeleteFromTable => relationsOf(d.table)
+      case u: UpdateTable => relationsOf(u.table)
     }.flatten.toSet
     plan.resolveOperatorsDown {
       case m: MergeIntoTable if graftTarget(m.targetTable).isDefined &&
@@ -87,6 +89,62 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s"supported on graft tables; partial overwrite by " +
               s"${other.sql} is row-level surgery — use MERGE INTO")
         }
+      // Row-level DELETE/UPDATE as CDC (the engine is a CDC applier, so
+      // both are CHANGE EVENTS, not file surgery): the matched rows of the
+      // analysis-time snapshot become op='D' (or updated op='U') events
+      // carrying each row's OWN warc_ts plus a banded synthetic LSN — the
+      // event ties the current row on warc_ts and wins the (warc_ts, lsn)
+      // argmax on LSN, so the statement lands through the same epoch-gated
+      // merge as every other write: lineage, tombstones for the changelog,
+      // replica propagation, quarantine all included. Spark's own
+      // RewriteDeleteFromTable/RewriteUpdateTable run in a later batch
+      // (they would reject the capability-less table), so interception
+      // here is what makes the statements exist at all.
+      case d: DeleteFromTable if graftTarget(d.table).isDefined &&
+          d.table.resolved && d.condition.resolved =>
+        val t = graftTarget(d.table).get
+        require(t.pinVersion.isEmpty,
+          "cannot DELETE FROM a time-travel (VERSION AS OF) relation")
+        val rel = relationsOf(d.table).head
+        // a delete event needs only the key + its current version order
+        val keyCols = rel.output.filter(a => a.name == "url" || a.name == "warc_ts")
+        GraftDeleteCommand(t.dir,
+          Project(keyCols, Filter(d.condition, lowerRead(rel, t))))
+      case u: UpdateTable if graftTarget(u.table).isDefined &&
+          u.table.resolved && u.assignments.forall(_.resolved) &&
+          u.condition.forall(_.resolved) =>
+        val t = graftTarget(u.table).get
+        require(t.pinVersion.isEmpty,
+          "cannot UPDATE a time-travel (VERSION AS OF) relation")
+        val rel = relationsOf(u.table).head
+        val assigned: Map[String, Expression] = u.assignments.map { a =>
+          val k = colName(a.key).getOrElse(
+            throw new UnsupportedOperationException(
+              s"unsupported UPDATE assignment target ${a.key.sql} — " +
+                "top-level columns only"))
+          k -> a.value
+        }.toMap
+        // the key IS the row's identity and warc_ts its version order:
+        // reassigning either is a delete+insert / a reorder in disguise,
+        // which this engine spells MERGE INTO with explicit change events
+        Seq("url", "warc_ts").filter(assigned.contains).foreach { k =>
+          throw new UnsupportedOperationException(
+            s"cannot UPDATE the $k column ('url' is the row key, " +
+              "'warc_ts' its version order); express key changes as " +
+              "MERGE INTO change events")
+        }
+        val read = lowerRead(rel, t)
+        val filtered = u.condition.map(Filter(_, read)).getOrElse(read)
+        val projected = Project(rel.output.map { a =>
+          assigned.get(a.name.toLowerCase) match {
+            case Some(v) =>
+              val vv = if (v.resolved && v.dataType == a.dataType) v
+                       else Cast(v, a.dataType)
+              Alias(vv, a.name)()
+            case None => a
+          }
+        }.toSeq, filtered)
+        GraftUpdateCommand(t.dir, projected)
       case c: CreateTableAsSelect if isGraftCtas(c) && c.query.resolved =>
         val r = c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
         val props = c.tableSpec match {
@@ -206,8 +264,11 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Shared plumbing of the eager SQL write commands. */
-private[sql] object GraftWrites {
+/** Shared plumbing of the eager SQL write commands. `private[graft]` (not
+  * `[sql]`): the driver-checkable `cdc_row_level` query exercises exactly
+  * this machinery against its DuckDB oracle.
+  */
+private[graft] object GraftWrites {
 
   val lineageOutput: Seq[Attribute] = Seq(
     AttributeReference("epoch", LongType, nullable = false)(),
@@ -327,7 +388,8 @@ private[sql] object GraftWrites {
     * shuffle (an imperative INSERT's write parallelism, not the binlog
     * path).
     */
-  def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long): org.apache.spark.sql.DataFrame = {
+  def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long,
+      op: String = "U"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // UNCONDITIONAL coalesce: it is a plan-level no-op when the source
     // already has fewer partitions, while probing .rdd.getNumPartitions
@@ -336,7 +398,7 @@ private[sql] object GraftWrites {
     // runs, so the bound it guards would not actually hold (round-3
     // review)
     userRows.coalesce(2047)
-      .withColumn("op", lit("U"))
+      .withColumn("op", lit(op))
       .withColumn("lsn", lit((epoch + 1) * (1L << 44)) + monotonically_increasing_id())
   }
 
@@ -432,6 +494,61 @@ case class GraftOverwriteCommand(tableDir: String, source: LogicalPlan,
     GraftWrites.applyAndLog(session, table,
       e => GraftWrites.toEvents(aligned, e),
       GraftWrites.allocatedEpoch(session, table), truncate = true)
+  }
+}
+
+/** Eagerly-executed `DELETE FROM graft.t WHERE …` — row-level delete
+  * expressed as CDC. `matchedRows` is the predicate-filtered user view of
+  * the snapshot current at ANALYSIS time, projected to (url, warc_ts):
+  * each matched row becomes an op='D' event with the row's own warc_ts
+  * (tying the live row) and a banded synthetic LSN (winning the tie), so
+  * the tombstone lands through the same epoch-gated merge as every other
+  * write. The one-row-per-url invariant means the synthesized batch has
+  * no duplicate keys; a predicate matching nothing is an empty batch →
+  * gated no-op. Concurrent-committer races re-run `mkBatch` against the
+  * same analysis-time file set (read-committed statement semantics —
+  * resolution by (warc_ts, lsn) argmax makes the outcome order-safe).
+  */
+case class GraftDeleteCommand(tableDir: String, matchedRows: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(matchedRows)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = LakeTable.load(session, tableDir)
+    val matched = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, matchedRows)
+    GraftWrites.applyAndLog(session, table,
+      e => GraftWrites.toEvents(matched, e, op = "D"),
+      GraftWrites.allocatedEpoch(session, table))
+  }
+}
+
+/** Eagerly-executed `UPDATE graft.t SET c = expr [WHERE …]` — row-level
+  * update expressed as CDC. `updatedRows` is the predicate-filtered user
+  * view with the SET expressions applied in place (key + warc_ts
+  * reassignment rejected at analysis): each row becomes an op='U' event
+  * carrying its own warc_ts + a banded LSN, winning the tie against the
+  * live row exactly like [[GraftDeleteCommand]]'s tombstones. Unmatched
+  * keys never appear in the batch, so their state (and their bucket
+  * files, under pruning) is untouched.
+  */
+case class GraftUpdateCommand(tableDir: String, updatedRows: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftWrites.lineageOutput
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(updatedRows)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = LakeTable.load(session, tableDir)
+    val updated = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, updatedRows)
+    GraftWrites.applyAndLog(session, table,
+      e => GraftWrites.toEvents(updated, e),
+      GraftWrites.allocatedEpoch(session, table))
   }
 }
 

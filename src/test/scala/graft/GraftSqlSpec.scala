@@ -512,4 +512,112 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("DELETE"))
     }
   }
+
+  test("DELETE FROM and UPDATE lower to change events through the merge") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqldelwh")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""CREATE TABLE graft.du_pages (
+        |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+        |  text STRING, lang STRING, content_len BIGINT)
+        |TBLPROPERTIES ('buckets' = '4')""".stripMargin)
+      s.sql("""INSERT INTO graft.du_pages VALUES
+        |  ('http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  ('http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'de', 6L),
+        |  ('http://c', TIMESTAMP '2024-01-01 00:00:02', CAST(NULL AS BINARY), 'text c', 'de', 6L)""".stripMargin)
+        .collect()
+      val preDelete = graft.lake.LakeTable.load(s, s"$wh/du_pages").currentVersion
+
+      // row-level DELETE: predicate-matched rows tombstone through the
+      // merge — lineage row reports them as delete events
+      val d = s.sql("DELETE FROM graft.du_pages WHERE lang = 'de'")
+        .collect().head
+      assert(d.getAs[Boolean]("applied") && d.getAs[Long]("events_in") == 2
+        && d.getAs[Long]("deletes") == 2)
+      assert(s.sql("SELECT url FROM graft.du_pages").collect()
+        .map(_.getString(0)).toSeq == Seq("http://a"))
+
+      // the deletes are real tombstones: the changelog emits op='D' rows
+      // (replica propagation), and a LATE upsert older than the delete
+      // cannot resurrect the key
+      val t = graft.lake.LakeTable.load(s, s"$wh/du_pages")
+      val v = t.currentVersion
+      val changed = t.changesBetween(v - 1, v)
+      assert(changed.filter(col("_op") === "D").count() == 2)
+      s.sql(mergeSql(s"$wh/du_pages",
+        """SELECT 1L lsn, 'U' op, 'http://b' url,
+          |TIMESTAMP '2023-06-01 00:00:00' warc_ts, CAST(NULL AS BINARY) html,
+          |'resurrect?' text, 'de' lang, 10L content_len""".stripMargin)).collect()
+      assert(s.sql("SELECT url FROM graft.du_pages").collect()
+        .map(_.getString(0)).toSeq == Seq("http://a"))
+
+      // DELETE matching nothing: empty batch, calm gated no-op
+      val d0 = s.sql("DELETE FROM graft.du_pages WHERE url = 'http://nope'")
+        .collect().head
+      assert(!d0.getAs[Boolean]("applied") && d0.getAs[Long]("events_in") == 0)
+
+      // row-level UPDATE: SET applies in place, unmatched rows untouched,
+      // and time travel still reads the pre-update value
+      val preUpdate = t.currentVersion
+      val u = s.sql(
+        "UPDATE graft.du_pages SET text = concat(text, ' v2'), content_len = 9 " +
+          "WHERE url = 'http://a'").collect().head
+      assert(u.getAs[Boolean]("applied") && u.getAs[Long]("events_in") == 1)
+      assert(s.sql("SELECT text, content_len FROM graft.du_pages")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("text a v2", 9L)))
+      assert(s.sql(
+        s"SELECT text FROM graft.du_pages VERSION AS OF $preUpdate")
+        .head().getString(0) == "text a")
+      // pre-delete snapshot still shows all three keys (tombstones are
+      // versioned state, not file surgery)
+      assert(s.sql(
+        s"SELECT count(*) FROM graft.du_pages VERSION AS OF $preDelete")
+        .head().getLong(0) == 3L)
+
+      // reassigning the key or its version order is rejected with guidance
+      val bad = intercept[Exception] {
+        s.sql("UPDATE graft.du_pages SET url = 'http://renamed'").collect()
+      }
+      assert(bad.getMessage.contains("MERGE INTO"))
+    }
+  }
+
+  test("TRUNCATE TABLE empties via one metadata commit; time travel survives") {
+    withSqlSession { s =>
+      val wh = TestSpark.tempDir("sqltrwh")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("""CREATE TABLE graft.tr_pages (
+        |  url STRING NOT NULL, warc_ts TIMESTAMP NOT NULL, html BINARY,
+        |  text STRING, lang STRING, content_len BIGINT)
+        |TBLPROPERTIES ('buckets' = '4')""".stripMargin)
+      s.sql("""INSERT INTO graft.tr_pages VALUES
+        |  ('http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  ('http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'de', 6L)""".stripMargin)
+        .collect()
+      val t = graft.lake.LakeTable.load(s, s"$wh/tr_pages")
+      val pre = t.currentVersion
+
+      s.sql("TRUNCATE TABLE graft.tr_pages")
+      assert(s.sql("SELECT count(*) FROM graft.tr_pages").head().getLong(0) == 0L)
+      // metadata truncate: purge fence advances (no tombstones for the
+      // dropped keys), epoch allocated, pre-truncate snapshot still reads
+      val v = t.currentVersion
+      val snap = t.snapshot(v)
+      assert(snap.summary("truncate") == "true"
+        && snap.summary("purge-version") == v.toString
+        && snap.summary.contains("batch-epoch"))
+      assert(s.sql(s"SELECT count(*) FROM graft.tr_pages VERSION AS OF $pre")
+        .head().getLong(0) == 2L)
+      val pe = intercept[IllegalStateException] { t.changesBetween(pre, v).count() }
+      assert(pe.getMessage.contains("purge"))
+
+      // the table keeps working after: a fresh insert lands normally
+      s.sql("""INSERT INTO graft.tr_pages VALUES
+        |  ('http://z', TIMESTAMP '2024-03-01 00:00:00', CAST(NULL AS BINARY), 'z', 'en', 1L)""".stripMargin)
+        .collect()
+      assert(s.sql("SELECT url FROM graft.tr_pages").collect()
+        .map(_.getString(0)).toSeq == Seq("http://z"))
+    }
+  }
 }
