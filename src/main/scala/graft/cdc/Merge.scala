@@ -148,6 +148,14 @@ object Merge {
     }
     val t0 = System.nanoTime()
     var tp = t0
+    // Engine write policy: standard INT64-micros timestamps, not Spark's
+    // default INT96 — INT96 writes NO parquet min/max stats, which kills
+    // both the footer-harvested warc_ts zone maps (GraftFileIndex file
+    // pruning) and the reader's own row-group pruning on time predicates.
+    // Session-level because parquet exposes no per-write option for it;
+    // readers handle both encodings transparently, so pre-existing INT96
+    // files coexist (they just carry no zone map).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val snap = table.currentSnapshot
 
     // 1. exactly-once epoch gate — namespaced by driver (gateKey), read
@@ -519,22 +527,46 @@ object Merge {
     try {
       val futs = paths.map { case (p, b) =>
         pool.submit(new java.util.concurrent.Callable[DataFile] {
-          def call(): DataFile =
-            DataFile(p.toString, b, footerRows(p), Files.size(p), schemaId)
+          def call(): DataFile = {
+            val (rows, ts) = footerMeta(p)
+            DataFile(p.toString, b, rows, Files.size(p), schemaId,
+              ts.map(_._1), ts.map(_._2))
+          }
         })
       }
       futs.map(_.get())
     } finally pool.shutdown()
   }
 
-  /** Row count from the parquet footer — metadata only, no data scan. */
-  private def footerRows(p: Path): Long = {
+  /** Row count + warc_ts [min, max] (epoch micros) from the parquet
+    * footer — metadata only, no data scan. The ts zone map feeds
+    * [[graft.lake.GraftFileIndex]] scan pruning; it is None unless EVERY
+    * row group has INT64 min/max stats (Spark's default INT96 timestamps
+    * carry none — applyBatch pins the writer to TIMESTAMP_MICROS, see
+    * there), so a partial-stats file is kept, never mis-pruned.
+    */
+  private def footerMeta(p: Path): (Long, Option[(Long, Long)]) = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val ranges = blocks.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "warc_ts")
+          .filter(_.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          .map(s => (s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+      }
+      val ts =
+        if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+        else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+      (r.getRecordCount, ts)
+    } finally r.close()
   }
 }

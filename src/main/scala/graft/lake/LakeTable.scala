@@ -9,9 +9,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** One immutable data file of a snapshot, pinned to one key bucket and the
-  * registry schema it was written under.
+  * registry schema it was written under. `tsMin`/`tsMax` are the file's
+  * `warc_ts` range in epoch micros (zone map for [[GraftFileIndex]] scan
+  * pruning), harvested from parquet footer stats during the commit's
+  * footer pass — absent for files written before stats capture (or as
+  * stats-less INT96), which are then simply never ts-pruned.
   */
-final case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long, schemaId: Int)
+final case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long,
+    schemaId: Int, tsMin: Option[Long] = None, tsMax: Option[Long] = None)
 
 /** One immutable manifest file: the data-file list for one contiguous
   * bucket group ([group × bucketsPerManifest, …+bucketsPerManifest)), with
@@ -209,7 +214,9 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
         DataFile(f.get("path").asText(), f.get("bucket").asInt(),
           f.get("rows").asLong(),
           if (f.has("bytes")) f.get("bytes").asLong() else 0L,
-          f.get("schemaId").asInt())
+          f.get("schemaId").asInt(),
+          if (f.has("tsMin")) Some(f.get("tsMin").asLong()) else None,
+          if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None)
       }.toSeq,
       summary = node.get("summary").fields().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
@@ -234,7 +241,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
     else
       s.files.groupBy(_.schemaId).map { case (sid, fs) =>
-        align(spark.read.schema(schemaFor(sid)).parquet(fs.map(_.path): _*), target)
+        align(GraftScan.scan(spark, fs, schemaFor(sid), s.numBuckets), target)
       }.reduce(_ unionByName _)
   }
 
@@ -260,7 +267,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
     else
       fs.groupBy(_.schemaId).map { case (sid, group) =>
-        align(spark.read.schema(schemaFor(sid)).parquet(group.map(_.path): _*), target)
+        align(GraftScan.scan(spark, group, schemaFor(sid), s.numBuckets), target)
       }.reduce(_ unionByName _)
   }
 
@@ -360,6 +367,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       n.put("path", f.path); n.put("bucket", f.bucket)
       n.put("rows", f.rows); n.put("bytes", f.bytes)
       n.put("schemaId", f.schemaId)
+      f.tsMin.foreach(n.put("tsMin", _)); f.tsMax.foreach(n.put("tsMax", _))
     }
     if (next.manifests.nonEmpty) {
       val ms = out.putArray("manifests")
@@ -501,7 +509,9 @@ object LakeTable {
     node.get("files").elements().asScala.map { f =>
       DataFile(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("rows").asLong(), f.get("bytes").asLong(),
-        f.get("schemaId").asInt())
+        f.get("schemaId").asInt(),
+        if (f.has("tsMin")) Some(f.get("tsMin").asLong()) else None,
+        if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None)
     }.toSeq
   }
 
@@ -520,6 +530,7 @@ object LakeTable {
       n.put("path", f.path); n.put("bucket", f.bucket)
       n.put("rows", f.rows); n.put("bytes", f.bytes)
       n.put("schemaId", f.schemaId)
+      f.tsMin.foreach(n.put("tsMin", _)); f.tsMax.foreach(n.put("tsMax", _))
     }
     val p = dir.resolve(
       s"m$version-g$group-${java.util.UUID.randomUUID().toString.take(8)}.json")

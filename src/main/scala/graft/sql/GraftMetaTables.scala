@@ -39,7 +39,10 @@ object GraftMetaTables {
     StructField("bucket", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("schema_id", IntegerType, nullable = false)))
+    StructField("schema_id", IntegerType, nullable = false),
+    // warc_ts zone map (epoch micros) — null for pre-stats files
+    StructField("ts_min", LongType, nullable = true),
+    StructField("ts_max", LongType, nullable = true)))
 
   val manifestsSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -105,7 +108,8 @@ object GraftMetaTables {
             l("source-lsn-min"), l("source-lsn-max"), s.summary)
         }
       case "files" =>
-        snap.files.map(f => Row(f.path, f.bucket, f.rows, f.bytes, f.schemaId))
+        snap.files.map(f => Row(f.path, f.bucket, f.rows, f.bytes, f.schemaId,
+          f.tsMin.map(Long.box).orNull, f.tsMax.map(Long.box).orNull))
       case "manifests" =>
         snap.manifests.map(m => Row(m.path, m.group, m.numFiles, m.rows, m.bytes))
       case "metrics" =>

@@ -38,6 +38,7 @@ class LakeTableSpec extends AnyFunSuite {
     df.write.parquet(f)
     val part = Files.list(Paths.get(f)).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
+    // bytes=0 exercises the legacy-manifest stat fallback in GraftFileIndex
     t.commit(Snapshot(1, 2, 1, Seq(DataFile(part, 0, 1, 0, 2)), Map("batch-epoch" -> "0")))
     // evolve to v3 (content_len widens to LONG) — old file carried forward
     t.commit(Snapshot(2, 3, 1, Seq(DataFile(part, 0, 1, 0, 2)), Map("batch-epoch" -> "1")))
