@@ -150,6 +150,48 @@ object ChangeFeed {
       rebootstrap = rebootstrap)
   }
 
+  /** Lake-to-lake replication as ONE Structured Streaming query:
+    * `readStream.format("graft-changelog")` → `writeStream.format
+    * ("graft-lake")` — the [[replicate]] driver loop re-expressed on
+    * Spark's own micro-batch engine (checkpointed offset log = the feed
+    * checkpoint; batchId gate in the sink = the apply gate). Use
+    * `Trigger.AvailableNow()` for a catch-up drain, `ProcessingTime` for
+    * a resident follower. Caller owns awaitTermination/stop.
+    *
+    * Contracts inherited from the source: a fresh checkpoint bootstraps
+    * with the full snapshot (into the just-created empty replica, so
+    * plain upsert == replace); a retention breach or in-range tombstone
+    * purge FAILS the query with re-bootstrap guidance — restart with a
+    * fresh checkpoint and an empty/truncated replica. Minted schemas are
+    * synced at start; a mid-stream ALTER TABLE needs a restart to pick
+    * up the new columns (the driver-loop [[replicate]] syncs per
+    * emission and stays the evolution-while-running path).
+    */
+  def replicateStream(spark: SparkSession, sourceDir: String,
+      replicaDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerBatch: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val source = LakeTable.load(spark, sourceDir)
+    if (!LakeTable.exists(replicaDir)) {
+      val s = source.currentSnapshot
+      LakeTable.create(spark, replicaDir, schemaId = s.schemaId,
+        numBuckets = s.numBuckets)
+    }
+    syncMintedSchemas(sourceDir, replicaDir)
+    val reader = spark.readStream.format("graft-changelog")
+      .option("path", sourceDir)
+    maxVersionsPerBatch.foreach(m =>
+      reader.option("maxVersionsPerBatch", m.toString))
+    reader.load().writeStream.format("graft-lake")
+      .option("path", replicaDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("schemaVersion", source.currentSnapshot.schemaId.toString)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Copy operationally-minted schema files (meta/schemas/s<id>.json,
     * immutable once committed) the replica does not have yet.
     */

@@ -1,0 +1,156 @@
+package graft
+
+import graft.cdc.{ChangeFeed, Merge, Metrics}
+import graft.lake.{LakeTable, Maintenance}
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The changelog as a first-class Structured Streaming source
+  * (`format("graft-changelog")`) composed with the lake sink
+  * (`format("graft-lake")`): lake-to-lake replication as one streaming
+  * query, exactly-once via Spark's offset log + the sink's batchId gate.
+  */
+class ChangelogStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text",
+    "lang", "content_len")
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def ev(lsn: Long, op: String, url: String, t: java.sql.Timestamp,
+      text: String) =
+    (lsn, op, url, t, null: Array[Byte], text, "en",
+      Option(text).map(_.length.toLong).getOrElse(0L))
+
+  private def userState(t: LakeTable): Set[(String, String)] =
+    t.readUser().select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def drain(sourceDir: String, replicaDir: String,
+      checkpointDir: String, maxVersionsPerBatch: Option[Int] = None): Unit = {
+    val q = ChangeFeed.replicateStream(spark, sourceDir, replicaDir,
+      checkpointDir, Trigger.AvailableNow(), maxVersionsPerBatch)
+    q.awaitTermination()
+  }
+
+  test("streaming source -> lake sink: bootstrap, incremental drains, idempotent restarts") {
+    val srcDir = TestSpark.tempDir("clog-src")
+    val repDir = TestSpark.tempDir("clog-rep")
+    val ckpt = TestSpark.tempDir("clog-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    val b0 = Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1"),
+      ev(3, "U", "http://d", ts("2024-01-01 00:00:02"), "d v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b0, 0, 3).applied)
+    val b1 = Seq(
+      ev(4, "U", "http://a", ts("2024-01-02 00:00:00"), "a v2"),
+      ev(5, "D", "http://b", ts("2024-01-02 00:00:01"), null),
+      ev(6, "U", "http://c", ts("2024-01-02 00:00:02"), "c v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b1, 1, 3).applied)
+
+    // drain 1: fresh checkpoint -> full-snapshot bootstrap + live deltas
+    drain(srcDir, repDir, ckpt)
+    val rep = LakeTable.load(spark, repDir)
+    assert(userState(rep) == userState(src))
+    // the delete's tombstone replicated, not just the live rows
+    val ops = rep.read().select("url", "_op").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ops.contains(("http://b", "D")))
+
+    // more changes land; the SAME checkpoint resumes from its offset log
+    val b2 = Seq(
+      ev(7, "D", "http://d", ts("2024-01-03 00:00:00"), null),
+      ev(8, "U", "http://c", ts("2024-01-03 00:00:01"), "c v2")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b2, 2, 3).applied)
+    drain(srcDir, repDir, ckpt)
+    assert(userState(LakeTable.load(spark, repDir)) == userState(src))
+    assert(userState(src) == Set(("http://a", "a v2"), ("http://c", "c v2")))
+
+    // idempotent no-op drain: caught up -> no batch, no new replica commit
+    val vBefore = LakeTable.load(spark, repDir).currentVersion
+    drain(srcDir, repDir, ckpt)
+    assert(LakeTable.load(spark, repDir).currentVersion == vBefore)
+    // each applied batch logged lineage exactly once (distinct epochs)
+    val epochs = Metrics.read(repDir).map(_.epoch)
+    assert(epochs == epochs.distinct)
+  }
+
+  test("maxVersionsPerBatch bounds catch-up; coarse default collapses it to one batch") {
+    val srcDir = TestSpark.tempDir("clog-bnd-src")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    (0 until 3).foreach { e =>
+      val b = Seq(ev(e + 1, "U", s"http://k$e",
+        ts(s"2024-01-0${e + 1} 00:00:00"), s"v$e")).toDF(cols: _*)
+      assert(Merge.applyBatch(spark, src, b, e.toLong, 3).applied)
+    }
+    // bounded: one version per batch -> one replica commit per source version
+    val repA = TestSpark.tempDir("clog-bnd-repA")
+    drain(srcDir, repA, TestSpark.tempDir("clog-bnd-ckptA"),
+      maxVersionsPerBatch = Some(1))
+    assert(userState(LakeTable.load(spark, repA)) == userState(src))
+    assert(Metrics.read(repA).count(_.applied) == 3)
+    // default: the whole catch-up is ONE coarse manifest diff -> one commit
+    val repB = TestSpark.tempDir("clog-bnd-repB")
+    drain(srcDir, repB, TestSpark.tempDir("clog-bnd-ckptB"))
+    assert(userState(LakeTable.load(spark, repB)) == userState(src))
+    assert(Metrics.read(repB).count(_.applied) == 1)
+  }
+
+  test("startingVersion=latest resolves once, persists across restarts, skips history") {
+    val srcDir = TestSpark.tempDir("clog-late-src")
+    val ckpt = TestSpark.tempDir("clog-late-ckpt")
+    val sink = TestSpark.tempDir("clog-late-out")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    val b0 = Seq(ev(1, "U", "http://old", ts("2024-01-01 00:00:00"), "old"))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b0, 0, 3).applied)
+
+    def drainToParquet(): Unit = {
+      val q = spark.readStream.format("graft-changelog")
+        .option("path", srcDir).option("startingVersion", "latest").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // first start: nothing after "latest" -> no rows; the resolved start
+    // version must now be pinned in the checkpoint
+    drainToParquet()
+    // history moves while the query is down; restart must emit EXACTLY
+    // the missed delta, not re-resolve "latest" past it
+    val b1 = Seq(ev(2, "U", "http://new", ts("2024-01-02 00:00:00"), "new"))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b1, 1, 3).applied)
+    drainToParquet()
+    val urls = spark.read.parquet(sink).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(urls == Set("http://new")) // no bootstrap of http://old
+  }
+
+  test("tombstone purge inside a pending range fails the stream with re-bootstrap guidance") {
+    val srcDir = TestSpark.tempDir("clog-purge-src")
+    val repDir = TestSpark.tempDir("clog-purge-rep")
+    val ckpt = TestSpark.tempDir("clog-purge-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    val b0 = Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b0, 0, 3).applied)
+    drain(srcDir, repDir, ckpt) // checkpoint now at the current version
+    // a delete lands, then a purge-tombstones compaction erases its
+    // tombstone -> the pending range crosses the purge
+    val b1 = Seq(ev(3, "D", "http://b", ts("2024-01-02 00:00:00"), null))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b1, 1, 3).applied)
+    Maintenance.compact(spark, src, purgeTombstones = true)
+    val ex = intercept[StreamingQueryException] {
+      val q = ChangeFeed.replicateStream(spark, srcDir, repDir, ckpt)
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("re-bootstrap")),
+      s"expected re-bootstrap guidance, got: ${messages(ex).mkString(" | ")}")
+  }
+}
