@@ -21,6 +21,8 @@ import org.apache.spark.sql.SparkSession
   *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
   *                                                 --checkpoint /ck/rep.v [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
+  *   spark-submit --class graft.Main <jar> replicate --stream --source /lake/pages --table /lake/replica \
+  *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
@@ -102,6 +104,28 @@ object Main {
         // --min-age-sec 0 only when no writer can be active
         val minAge = opts.get("min-age-sec").map(_.toLong * 1000).getOrElse(3600000L)
         Seq(s"removed ${Maintenance.gc(LakeTable.load(spark, table), minAge)} files")
+      case "replicate" if opts.contains("stream") =>
+        // CDC OUT on Spark's own micro-batch engine: one Structured
+        // Streaming query (graft-changelog source -> graft-lake sink).
+        // --checkpoint here is a streaming checkpoint DIRECTORY (Spark's
+        // offset log), not the driver-loop version file. Default drains
+        // (AvailableNow) and exits; --follow keeps a resident trigger.
+        val src = opts.getOrElse("source",
+          sys.error("replicate requires --source <dir>"))
+        val ck = opts.getOrElse("checkpoint",
+          sys.error("replicate --stream requires --checkpoint <dir>"))
+        val trigger =
+          if (opts.contains("follow"))
+            org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(intervalMs(opts))
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val q = graft.cdc.ChangeFeed.replicateStream(spark, src, table, ck,
+          trigger, opts.get("max-versions-per-batch").map(_.toInt))
+        durationMs(opts) match {
+          case Some(d) => q.awaitTermination(d); q.stop()
+          case None => q.awaitTermination()
+        }
+        report(spark, table)
       case "replicate" =>
         // CDC OUT, applied: tail the source's changelog INTO a replica
         // lake table (auto-created on first run). Default drains to

@@ -31,6 +31,9 @@ object CdcQueries {
 
   private lazy val mergeEventsDir: String = lakeDir("merge-events")
   private lazy val rowLevelDir: String = lakeDir("row-level")
+  private lazy val replSrcDir: String = lakeDir("repl-src")
+  private lazy val replDstDir: String = lakeDir("repl-dst")
+  private lazy val replCkptDir: String = lakeDir("repl-ckpt")
 
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
   private def fresh(dir: String): String = {
@@ -143,6 +146,52 @@ object CdcQueries {
              |SELECT user_key, last_ts, last_type,
              |       CASE WHEN last_type = 'view' THEN last_value * 2
              |            ELSE last_value END AS last_value
-             |FROM state WHERE last_type <> 'click'""".stripMargin))
+             |FROM state WHERE last_type <> 'click'""".stripMargin)),
+
+    // Lake-to-lake STREAMING replication end to end: merge two-thirds of
+    // the log into a source table, drain it through one Structured
+    // Streaming query (readStream graft-changelog -> writeStream
+    // graft-lake; the first batch is the full-snapshot bootstrap), land
+    // the last third on the source, drain the SAME checkpoint again (the
+    // incremental delta resumes from Spark's offset log), and return the
+    // REPLICA's state. The oracle is the same pure argmax as
+    // cdc_merge_events — the replica must converge to exactly the source's
+    // final table, through the streaming source's version-range offsets
+    // and the sink's per-checkpoint batchId gate.
+    QueryDef(
+      "cdc_replicate_stream",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val cut = 2 * maxLsn / 3
+        val srcDir = fresh(replSrcDir)
+        val dstDir = fresh(replDstDir)
+        val ckpt = fresh(replCkptDir)
+        val t = LakeTable.create(s, srcDir, schemaId = 3, numBuckets = 8)
+        def land(batch: DataFrame, epoch: Long): Unit = {
+          val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          Merge.applyBatch(s, t, batch, epoch, batchSchemaVersion = 3,
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+        }
+        land(log.filter(col("lsn") <= cut), 0L)
+        graft.cdc.ChangeFeed.replicateStream(s, srcDir, dstDir, ckpt)
+          .awaitTermination() // drain 1: full-snapshot bootstrap
+        land(log.filter(col("lsn") > cut), 1L)
+        graft.cdc.ChangeFeed.replicateStream(s, srcDir, dstDir, ckpt)
+          .awaitTermination() // drain 2: incremental delta, same checkpoint
+        log.unpersist()
+        LakeTable.load(s, dstDir).readUser().select(
+          col("url").as("user_key"),
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("text").as("last_props"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"))
+      },
+      Some("""SELECT 'user:' || user_id AS user_key, ts AS last_ts,
+             |       props AS last_props, event_type AS last_type,
+             |       CAST(floor(value) AS BIGINT) AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin))
   )
 }

@@ -128,6 +128,43 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(urls == Set("http://new")) // no bootstrap of http://old
   }
 
+  test("randomized log + random drain points: streaming replica always converges") {
+    val rnd = new scala.util.Random(4242)
+    val srcDir = TestSpark.tempDir("clog-rand-src")
+    val repDir = TestSpark.tempDir("clog-rand-rep")
+    val ckpt = TestSpark.tempDir("clog-rand-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    val urls = (0 until 8).map(i => s"http://site$i")
+    var lsn = 0L
+    (0 until 6).foreach { e =>
+      val rows = (0 until (1 + rnd.nextInt(5))).map { _ =>
+        lsn += 1
+        val url = urls(rnd.nextInt(urls.length))
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        ev(lsn, op, url, ts(f"2024-01-01 00:${lsn}%02d:00"),
+          if (op == "D") null else s"$url@$lsn")
+      }
+      assert(Merge.applyBatch(spark, src, rows.toDF(cols: _*), e.toLong, 3).applied)
+      // drain at random points, with a random catch-up bound — every
+      // prefix of the version chain must replicate to the same state
+      if (rnd.nextBoolean()) {
+        drain(srcDir, repDir, ckpt,
+          maxVersionsPerBatch = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(2)) else None)
+        assert(userState(LakeTable.load(spark, repDir)) == userState(src),
+          s"diverged after epoch $e")
+      }
+    }
+    drain(srcDir, repDir, ckpt)
+    val rep = LakeTable.load(spark, repDir)
+    assert(userState(rep) == userState(src))
+    // tombstones replicated too: full keyed state (incl. deletes) matches
+    def keyed(t: LakeTable) = t.read().select("url", "_op", "_lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(keyed(rep) == keyed(src))
+    val epochs = Metrics.read(repDir).map(_.epoch)
+    assert(epochs == epochs.distinct)
+  }
+
   test("tombstone purge inside a pending range fails the stream with re-bootstrap guidance") {
     val srcDir = TestSpark.tempDir("clog-purge-src")
     val repDir = TestSpark.tempDir("clog-purge-rep")

@@ -186,6 +186,35 @@ class MainSpec extends AnyFunSuite {
     assert(!out4.exists(_.startsWith("applied")) && r.currentVersion == v)
   }
 
+  test("CLI replicate --stream drains via the streaming source/sink and resumes") {
+    import spark.implicits._
+    val src = TestSpark.tempDir("reps-src")
+    val rep = TestSpark.tempDir("reps-dst") + "/replica"
+    val ck = TestSpark.tempDir("reps-ck") + "/ckpt"
+    val t = graft.lake.LakeTable.create(spark, src, schemaId = 3, numBuckets = 4)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    def apply3(lsn: Long, op: String, url: String, when: String, text: String, e: Long) =
+      assert(graft.cdc.Merge.applyBatch(spark, t,
+        Seq((lsn, op, url, ts(when), null: Array[Byte], text, "en",
+          Option(text).map(_.length.toLong).getOrElse(0L))).toDF(cols: _*),
+        e, 3).applied)
+    apply3(1, "U", "http://a", "2024-01-01 00:00:00", "a v1", 0)
+    apply3(2, "U", "http://b", "2024-01-02 00:00:00", "b v1", 1)
+    val out1 = Main.run(spark, Seq("replicate", "--stream", "--source", src,
+      "--table", rep, "--checkpoint", ck))
+    assert(out1.exists(_.startsWith(s"table=$rep ")), out1.mkString("; "))
+    val live = (d: graft.lake.LakeTable) => d.readUser().select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val r = graft.lake.LakeTable.load(spark, rep)
+    assert(live(r) == live(t))
+    // incremental resume from Spark's offset log in the same checkpoint
+    apply3(3, "D", "http://a", "2024-01-03 00:00:00", null, 2)
+    Main.run(spark, Seq("replicate", "--stream", "--source", src,
+      "--table", rep, "--checkpoint", ck))
+    assert(live(r) == live(t) && live(r) == Set(("http://b", "b v1")))
+  }
+
   test("CLI arg parser and unknown-command guard") {
     assert(Main.parse(Seq("gc", "--table", "/t")) == ("gc", Map("table" -> "/t")))
     assert(Main.parse(Seq("compact", "--table", "/t", "--purge-tombstones"))
