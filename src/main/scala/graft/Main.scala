@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> replicate --stream --source /lake/pages --table /lake/replica \
   *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
+  *   spark-submit --class graft.Main <jar> rebucket --table /lake/pages --buckets 4096
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
   *   spark-submit --class graft.Main <jar> show    --table /lake/pages
@@ -95,6 +96,11 @@ object Main {
         val snap = Maintenance.compact(spark, LakeTable.load(spark, table),
           purgeTombstones = opts.contains("purge-tombstones"))
         Seq(s"compacted $table -> v${snap.version} files=${snap.fileCount}")
+      case "rebucket" =>
+        val snap = Maintenance.rebucket(spark, LakeTable.load(spark, table),
+          newBuckets = opts("buckets").toInt)
+        Seq(s"rebucketed $table -> v${snap.version} " +
+          s"buckets=${snap.numBuckets} files=${snap.fileCount}")
       case "expire" =>
         val n = Maintenance.expireSnapshots(LakeTable.load(spark, table),
           keepLast = opts("keep-last").toInt)
@@ -184,7 +190,7 @@ object Main {
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|changes|replicate|compact|expire|gc|show)")
+          "(create|tail|replay|merge|changes|replicate|compact|rebucket|expire|gc|show)")
     }
   }
 
@@ -205,7 +211,30 @@ object Main {
       s"buckets=${s.numBuckets} files=${s.fileCount} bytes=${s.totalBytes} " +
       s"lastEpoch=${t.lastCommittedEpoch.getOrElse(-1L)} " +
       s"lsnMax=${s.summary.getOrElse("source-lsn-max", "-")} " +
-      s"conflicts=${s.summary.getOrElse("conflict-count", "-")}")
+      s"conflicts=${s.summary.getOrElse("conflict-count", "-")}") ++
+      rebucketAdvice(s)
+  }
+
+  /** Bucket count is the table's CoW write/prune granularity; advise a
+    * rebucket when avg bucket bytes drifts an order of magnitude from the
+    * ~256 MB target file size (stats come free from manifest refs).
+    */
+  private[graft] def rebucketAdvice(
+      s: graft.lake.Snapshot): Seq[String] = {
+    val target = 256L << 20
+    val avg = if (s.fileCount == 0) 0L else s.totalBytes / s.numBuckets
+    def pow2Ceil(x: Long): Int = {
+      var n = 1L; while (n * target < x) n <<= 1
+      math.min(n, 1L << 20).toInt
+    }
+    if (avg > 4 * target)
+      Seq(s"advice: avg bucket ${avg >> 20} MB > target 256 MB — run " +
+        s"rebucket --buckets ${s.numBuckets.toLong * pow2Ceil(avg) max 1}")
+    else if (s.numBuckets > 64 && s.fileCount > 0 && avg < target / 64)
+      Seq(s"advice: avg bucket ${math.max(1, avg >> 10)} KB ≪ target — " +
+        s"over-bucketed; consider rebucket --buckets ${
+          math.max(64, s.numBuckets / 64)}")
+    else Nil
   }
 
   /** `cmd --key value --flag` → (cmd, opts); bare flags map to "". */

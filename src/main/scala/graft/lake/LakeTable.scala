@@ -423,6 +423,24 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       (carried ++ rewritten).sortBy(_.group)))
   }
 
+  /** Commit a FULL-table rewrite, optionally at a NEW bucket count
+    * (bucket-count evolution — [[Maintenance.rebucket]]). `newFiles`
+    * must be the complete live file set, already laid out under
+    * `numBuckets` ([[graft.cdc.Merge.bucketOf]] at the new count); every
+    * previous manifest is superseded and the whole list is rewritten
+    * under the new group numbering. Metadata IO is O(files) — matching
+    * the O(table) data rewrite such a commit always fronts; incremental
+    * commits keep using [[commitDelta]].
+    */
+  def commitRewrite(prev: Snapshot, schemaId: Int, numBuckets: Int,
+      newFiles: Seq[DataFile], summary: Map[String, String]): Snapshot = {
+    val version = prev.version + 1
+    val rewritten = newFiles.groupBy(_.bucket / bucketsPerManifest)
+      .toSeq.map { case (g, fs) => writeManifest(metaDir, version, g, fs) }
+    commit(Snapshot(version, schemaId, numBuckets, Nil, summary,
+      rewritten.sortBy(_.group)))
+  }
+
   /** Metadata-only commit (reference analog K7: annotation write-back,
     * reannotate_files.R:11-19): new snapshot, same data files and schema,
     * updated summary properties. Carries manifests forward by reference —

@@ -47,10 +47,55 @@ object Maintenance {
     // snapshot itself expires (round-3 verdict #8).
     val purgeMark = if (purgeTombstones)
       Map("purge-version" -> (snap.version + 1).toString) else Map.empty
-    table.commitDelta(snap, snap.version + 1, snap.schemaId,
-      (0 until snap.numBuckets).toSet, written,
+    // a compaction supersedes every manifest — commitRewrite publishes the
+    // full new list without loading the old manifests first (commitDelta
+    // with an all-buckets touched set would read them only to discard)
+    table.commitRewrite(snap, snap.schemaId, snap.numBuckets, written,
       LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
         "compacted-from" -> snap.fileCount.toString) ++ purgeMark)
+  }
+
+  /** Bucket-count evolution: rewrite the table at `newBuckets` and commit
+    * a snapshot carrying the new count (the bucket map is
+    * `pmod(xxhash64(url), numBuckets)` — [[graft.cdc.Merge.bucketOf]] —
+    * so every row moves to its new bucket; there is no incremental
+    * rebucket for a hash layout). Everything downstream is per-snapshot
+    * already: the next MERGE prunes/writes at the new count, the scan
+    * planner's point-lookup pruning uses the scanned snapshot's count,
+    * and time travel keeps reading old snapshots at theirs.
+    *
+    * Why this exists at 100 TB: bucket count is the table's write/prune
+    * granularity — each touched bucket is rewritten wholesale per commit
+    * (CoW), so avg bucket bytes must stay near one target file size
+    * (~128-512 MB). A table that grows 100× past its created-at count
+    * degrades every merge into multi-GB bucket rewrites; double the
+    * count whenever `totalBytes / numBuckets` crosses the target. Cost:
+    * ONE full shuffle + rewrite — the same O(table) class as a purge
+    * compaction, run as rare offline maintenance, metadata-atomic like
+    * every commit (readers see old or new layout, never a mix).
+    *
+    * Changelog interaction: a rebucket changes every file but no row, so
+    * `changesBetween` across it degrades to a full-table diff (all
+    * bucket groups differ) that yields ZERO change rows — correct,
+    * priced as read amplification, exactly like a non-purge compaction.
+    * Tombstones and lineage keys (epoch gates, watermark, purge fence)
+    * carry through untouched.
+    */
+  def rebucket(spark: SparkSession, table: LakeTable,
+      newBuckets: Int): Snapshot = {
+    val snap = table.currentSnapshot
+    require(newBuckets >= 1, s"newBuckets must be >= 1 (got $newBuckets)")
+    if (newBuckets == snap.numBuckets) return snap
+    val df = table.read(snap)
+      .withColumn("_bucket", Merge.bucketOf(col("url"), newBuckets))
+    val commitDir = table.newCommitDir(-1L)
+    df.repartition(math.max(1, newBuckets), col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
+    table.commitRewrite(snap, snap.schemaId, newBuckets, written,
+      LakeTable.inheritLineage(snap.summary) ++ Map(
+        "rebucket" -> "true",
+        "rebucketed-from" -> snap.numBuckets.toString))
   }
 
   /** Drop manifests older than the last `keepLast` snapshots. The epoch

@@ -90,4 +90,71 @@ class MaintenanceSpec extends AnyFunSuite {
       ev.filter(org.apache.spark.sql.functions.col("lsn") < 1000), 2, 3)
     assert(!replay.applied)
   }
+
+  test("rebucket: bucket-count evolution preserves content, gate, changelog; next merge uses the new layout") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("rebucket")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 8)
+    val cfg = ChangeGen.Config(nEvents = 3000, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg)
+    (0 until 2).foreach { e =>
+      Merge.applyBatch(spark, t,
+        ev.filter(col("lsn") >= e * 1000 && col("lsn") < (e + 1) * 1000),
+        e.toLong, 3)
+    }
+    val before = t.readUser().orderBy("url").collect().toSeq
+    val tombstonesBefore = t.read().filter(col("_op") === "D").count()
+    val gateBefore = t.lastCommittedEpoch
+    val preVersion = t.currentVersion
+
+    // grow 8 -> 64 (the 100-TB direction: keep avg bucket bytes near the
+    // target file size as the table grows)
+    Maintenance.rebucket(spark, t, 64)
+    val snap = t.currentSnapshot
+    assert(snap.numBuckets == 64)
+    assert(t.readUser().orderBy("url").collect().toSeq == before)
+    assert(t.read().filter(col("_op") === "D").count() == tombstonesBefore)
+    assert(t.lastCommittedEpoch == gateBefore) // lineage keys carried
+    // every file sits in its url-hash bucket under the NEW count, ≤1 each
+    val byBucket = snap.files.groupBy(_.bucket)
+    assert(byBucket.values.forall(_.size == 1))
+    assert(byBucket.keys.forall(b => b >= 0 && b < 64))
+    // a rebucket changes every file but no row: changelog across it is empty
+    assert(t.changesBetween(preVersion, snap.version).count() == 0)
+
+    // the next merge plans/writes at the new count and its deltas are the
+    // ONLY thing a changelog across the rebucket reports
+    val s = Merge.applyBatch(spark, t,
+      ev.filter(col("lsn") >= 2000 && col("lsn") < 3000), 2L, 3)
+    assert(s.applied)
+    val after = t.currentSnapshot
+    assert(after.numBuckets == 64)
+    assert(after.files.groupBy(_.bucket).values.forall(_.size == 1))
+    // winner order is (warc_ts, lsn) — the engine's W1 ordering
+    val oracle = ev.filter(col("lsn") < 3000)
+      .groupBy("url").agg(org.apache.spark.sql.functions.max_by(col("op"),
+        org.apache.spark.sql.functions.struct(col("warc_ts"), col("lsn")))
+        .as("op"))
+      .filter(col("op") =!= "D").count()
+    assert(t.readUser().count() == oracle)
+    val delta = t.changesBetween(preVersion, after.version)
+    assert(delta.count() > 0)
+    // delta rows are exactly the keys whose (url, _lsn) changed in range
+    val expectedChanged = t.read(after).as("b")
+      .join(t.read(t.snapshot(preVersion)).select(col("url"),
+        col("_lsn")).as("a"), Seq("url", "_lsn"), "left_anti").count()
+    assert(delta.count() == expectedChanged)
+
+    // time travel still reads the OLD snapshot at its own bucket count
+    assert(t.snapshot(preVersion).numBuckets == 8)
+    assert(t.readUser(t.snapshot(preVersion)).orderBy("url")
+      .collect().toSeq == before)
+
+    // shrink works too (consolidating an over-bucketed small table)
+    Maintenance.rebucket(spark, t, 4)
+    assert(t.currentSnapshot.numBuckets == 4)
+    assert(t.currentSnapshot.fileCount <= 4)
+    assert(t.readUser().count() == oracle)
+  }
 }
