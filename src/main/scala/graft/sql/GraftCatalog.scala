@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
   * name (`synTableQuery`/`tbl(bq, "Submissions")`,
   * /root/reference/project_setup/late_setup/extract_submission_files.R:19-22).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -41,6 +42,20 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  /** `CALL graft.system.<proc>(…)` — SQL maintenance ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list
+
+  /** Table-name → directory resolution for procedure arguments (same
+    * rules as table identifiers: absolute path, or warehouse-relative).
+    */
+  private[sql] def resolveDir(name: String): String =
+    dirFor(Identifier.of(Array.empty, name))
 
   private def dirFor(ident: Identifier): String = {
     val n = ident.name()

@@ -1,0 +1,125 @@
+package graft.sql
+
+import graft.lake.{LakeTable, Maintenance}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for lake maintenance — the DSv2 procedure API
+  * (Spark 4's ProcedureCatalog), so every operator action the CLI offers
+  * is also one SQL statement away for a warehouse user:
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'pages')
+  *   CALL graft.system.compact(table => 'pages', purge_tombstones => true)
+  *   CALL graft.system.rebucket(table => 'pages', buckets => 4096)
+  *   CALL graft.system.expire_snapshots(table => 'pages', keep_last => 10)
+  *   CALL graft.system.gc(table => 'pages')          -- min_age_sec => 3600
+  * }}}
+  *
+  * Each returns its outcome as one result row (new version / counts), so
+  * a maintenance job can assert on what it did. The `table` argument is a
+  * warehouse-relative name or an absolute table directory — the same
+  * resolution as every other `graft.` identifier.
+  *
+  * Reference analog: the operator-run maintenance scripts
+  * (/root/reference/upload_data/Teams/upload_team_tables.R full-refresh,
+  * query_queues.sh re-polls) given a governed, auditable SQL spelling.
+  */
+private[sql] object GraftProcedures {
+
+  private val Namespace = Array("system")
+
+  def list: Array[Identifier] =
+    names.map(n => Identifier.of(Namespace, n)).toArray
+
+  private val names = Seq("compact", "rebucket", "expire_snapshots", "gc")
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    def spark = SparkSession.active
+    def tableOf(input: InternalRow): LakeTable =
+      LakeTable.load(spark, catalog.resolveDir(input.getUTF8String(0).toString))
+    ident.name() match {
+      case "compact" => new MaintenanceProcedure(
+        "compact",
+        Array(in("table", StringType),
+          in("purge_tombstones", BooleanType, Some("false"))),
+        new StructType().add("version", IntegerType).add("files", IntegerType),
+        input => {
+          val s = Maintenance.compact(spark, tableOf(input),
+            purgeTombstones = !input.isNullAt(1) && input.getBoolean(1))
+          Seq(s.version, s.fileCount)
+        })
+      case "rebucket" => new MaintenanceProcedure(
+        "rebucket",
+        Array(in("table", StringType), in("buckets", IntegerType)),
+        new StructType().add("version", IntegerType)
+          .add("buckets", IntegerType).add("files", IntegerType),
+        input => {
+          val s = Maintenance.rebucket(spark, tableOf(input), input.getInt(1))
+          Seq(s.version, s.numBuckets, s.fileCount)
+        })
+      case "expire_snapshots" => new MaintenanceProcedure(
+        "expire_snapshots",
+        Array(in("table", StringType), in("keep_last", IntegerType)),
+        new StructType().add("expired", IntegerType),
+        input => Seq(Maintenance.expireSnapshots(tableOf(input),
+          keepLast = input.getInt(1))))
+      case "gc" => new MaintenanceProcedure(
+        "gc",
+        Array(in("table", StringType),
+          in("min_age_sec", LongType, Some("3600"))),
+        new StructType().add("removed", IntegerType),
+        input => Seq(Maintenance.gc(tableOf(input),
+          minAgeMs = (if (input.isNullAt(1)) 3600L
+            else input.getLong(1)) * 1000L)))
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure graft.system.$other " +
+          s"(available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One maintenance action: bind is identity (parameters are fixed and
+    * Spark's ProcedureArgumentCoercion aligns/coerces the call site),
+    * call runs the action on the driver and returns its outcome as a
+    * single-row [[LocalScan]].
+    */
+  private final class MaintenanceProcedure(
+      procName: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      body: InternalRow => Seq[Any])
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = s"graft lake maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val vals = body(input).map {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(vals))
+        override def readSchema(): StructType = out
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+}

@@ -620,4 +620,57 @@ class GraftSqlSpec extends AnyFunSuite {
         .map(_.getString(0)).toSeq == Seq("http://z"))
     }
   }
+
+  test("CALL graft.system.*: compact, rebucket, expire_snapshots, gc as SQL procedures") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlproc")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      val src = """SELECT * FROM VALUES
+        |  (1L, 'U', 'http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  (2L, 'U', 'http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'en', 6L),
+        |  (3L, 'D', 'http://b', TIMESTAMP '2024-01-02 00:00:00', CAST(NULL AS BINARY), NULL, NULL, NULL)
+        |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin
+      s.sql(mergeSql(dir, src)).collect()
+      val t = graft.lake.LakeTable.load(s, dir)
+      val content = s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
+        .collect().toSeq
+
+      // rebucket 4 -> 16: result row reports the new layout; content holds
+      val rb = s.sql(
+        s"CALL graft.system.rebucket(table => '$dir', buckets => 16)")
+      assert(rb.columns.toSeq == Seq("version", "buckets", "files"))
+      val rbRow = rb.collect().head
+      assert(rbRow.getInt(1) == 16)
+      assert(t.currentSnapshot.numBuckets == 16)
+      assert(s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
+        .collect().toSeq == content)
+
+      // compact with positional arg + default purge_tombstones=false,
+      // then named purge: the 'D' tombstone survives the first, not the second
+      val tombs = () => t.read().filter(col("_op") === "D").count()
+      assert(tombs() == 1)
+      val c1 = s.sql(s"CALL graft.system.compact('$dir')").collect().head
+      assert(c1.getInt(0) == t.currentVersion && tombs() == 1)
+      s.sql(s"CALL graft.system.compact(table => '$dir', " +
+        "purge_tombstones => true)").collect()
+      assert(tombs() == 0)
+
+      // expire + gc (age 0: offline) — old versions unreadable, space freed
+      val exp = s.sql(s"CALL graft.system.expire_snapshots(table => '$dir', " +
+        "keep_last => 1)").collect().head
+      assert(exp.getInt(0) > 0)
+      val rem = s.sql(s"CALL graft.system.gc(table => '$dir', " +
+        "min_age_sec => 0)").collect().head
+      assert(rem.getInt(0) > 0)
+      assert(s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
+        .collect().toSeq == content)
+
+      // unknown procedure fails with guidance
+      val e = intercept[Exception] {
+        s.sql(s"CALL graft.system.vacuum(table => '$dir')").collect()
+      }
+      assert(e.getMessage.contains("vacuum")
+        || e.getMessage.toLowerCase.contains("not found"))
+    }
+  }
 }
