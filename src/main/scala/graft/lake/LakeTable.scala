@@ -346,6 +346,26 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       .select(after.columns.map(col).toSeq: _*)
   }
 
+  /** Latest version whose commit wall-clock is at or before `tsMillis`
+    * (`TIMESTAMP AS OF` resolution). Commit stamps are one driver clock
+    * per writer and monotone in practice; resolution takes the MAX
+    * qualifying version so a rare clock wobble between adjacent commits
+    * can never resolve to a version that a later-stamped commit
+    * supersedes. Legacy snapshots without a stamp sort oldest. O(retained
+    * versions) manifest reads — time travel is an interactive path, and
+    * expiry bounds the chain.
+    */
+  def versionAsOf(tsMillis: Long): Int = {
+    val vs = existingVersions
+    val qualified = vs.filter(v => snapshot(v).summary.get("commit-ts")
+      .map(_.toLong).getOrElse(0L) <= tsMillis)
+    if (qualified.isEmpty) throw new NoSuchElementException(
+      s"no snapshot committed at or before epoch-millis $tsMillis " +
+        s"(earliest retained: v${vs.min} at commit-ts " +
+        s"${snapshot(vs.min).summary.getOrElse("commit-ts", "unknown")})")
+    qualified.max
+  }
+
   /** Allocate a fresh commit directory for a writer (phase 1 of 2PC). */
   def newCommitDir(epoch: Long): String = {
     val p = dataDir.resolve(s"c$epoch-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -356,7 +376,14 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
   /** Phase 2: publish a new snapshot atomically. Fails (cleanly) if a
     * concurrent committer won the version — optimistic concurrency.
     */
-  def commit(next: Snapshot): Snapshot = {
+  def commit(next0: Snapshot): Snapshot = {
+    // wall-clock commit stamp (TIMESTAMP AS OF resolution; observability
+    // via summary['commit-ts']). Deliberately NOT a lineage key — replay
+    // fingerprints compare semantic keys, and a replica's own commits
+    // carry their own clock.
+    val next = if (next0.summary.contains("commit-ts")) next0
+      else next0.copy(summary = next0.summary +
+        ("commit-ts" -> System.currentTimeMillis().toString))
     val out = mapper.createObjectNode()
     out.put("version", next.version)
     out.put("schemaId", next.schemaId)

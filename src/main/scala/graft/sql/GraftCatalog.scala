@@ -125,10 +125,21 @@ class GraftCatalog extends TableCatalog
       .getOrElse(GraftTable(dir, Some(v)))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported: graft snapshots are versioned by " +
-        "commit sequence (use VERSION AS OF <n>)")
+  /** `SELECT … FROM graft.t TIMESTAMP AS OF <ts>`: resolves to the
+    * latest snapshot committed at or before the wall-clock instant
+    * (every commit stamps `commit-ts`) and pins the read there —
+    * the Iceberg/Delta as-of-timestamp shape. Spark hands micros.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (dir, kind) = metaSplit(ident)
+      .map { case (d, k) => (d, Some(k)) }
+      .getOrElse((dirFor(ident), None))
+    if (!LakeTable.exists(dir)) throw new NoSuchTableException(ident.asMultipartIdentifier)
+    val v = LakeTable.load(SparkSession.active, dir)
+      .versionAsOf(Math.floorDiv(timestamp, 1000L))
+    kind.map(k => GraftMetaTable(dir, k, Some(v)): Table)
+      .getOrElse(GraftTable(dir, Some(v)))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {

@@ -673,4 +673,43 @@ class GraftSqlSpec extends AnyFunSuite {
         || e.getMessage.toLowerCase.contains("not found"))
     }
   }
+
+  test("TIMESTAMP AS OF pins the read to the latest snapshot at that instant") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlts")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      def mrg(lsn: Int, url: String): Unit = s.sql(mergeSql(dir,
+        s"""SELECT * FROM VALUES
+           |  (${lsn}L, 'U', '$url', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 't', 'en', 1L)
+           |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin))
+        .collect()
+      mrg(1, "http://a") // v1
+      Thread.sleep(5)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(5)
+      mrg(2, "http://b") // v2
+
+      def litOf(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      // between v1 and v2: reads v1 (one row)
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir` " +
+        s"TIMESTAMP AS OF '${litOf(mid)}'").head().getLong(0) == 1L)
+      // at/after the latest commit: reads current (two rows)
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir` " +
+        s"TIMESTAMP AS OF '${litOf(System.currentTimeMillis())}'")
+        .head().getLong(0) == 2L)
+      // before the table existed: clear error, not an empty result
+      val err = intercept[Exception] {
+        s.sql(s"SELECT count(*) FROM graft.`$dir` " +
+          "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+      }
+      assert(err.getMessage.contains("no snapshot")
+        || Option(err.getCause).exists(_.getMessage.contains("no snapshot")))
+      // metadata tables accept the same pin ($files honors it; history is
+      // a whole-chain view by contract, same as VERSION AS OF)
+      assert(s.sql(s"SELECT sum(rows) FROM graft.`$dir$$files` " +
+        s"TIMESTAMP AS OF '${litOf(mid)}'").head().getLong(0) == 1L)
+    }
+  }
 }
