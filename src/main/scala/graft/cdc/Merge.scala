@@ -429,6 +429,15 @@ object Merge {
       "late-keys" -> st.getAs[Long]("lateKeys").toString,
       "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,
       "source-lsn-max" -> st.getAs[Long]("lsnMax").toString,
+      // monotone max LSN ever applied, surviving every commit (incl.
+      // truncate/compaction via lineageKeys): the SQL write paths band
+      // their synthetic LSNs ABOVE it so a row-level DELETE/UPDATE
+      // tombstone always wins its (warc_ts, lsn) tie even against
+      // producers with large raw LSNs (byte offsets, ns timestamps)
+      "lsn-high-water" -> math.max(
+        snap.summary.get("lsn-high-water").map(_.toLong)
+          .getOrElse(Long.MinValue),
+        st.getAs[Long]("lsnMax")).toString,
       "events-in" -> eventsIn.toString,
       "rows-applied" -> rowsApplied.toString,
       "conflict-count" -> conflicts.toString,

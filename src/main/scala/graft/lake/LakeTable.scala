@@ -517,7 +517,7 @@ object LakeTable {
     * commits made by other drivers or its resume gate silently resets.
     */
   val lineageKeys: Seq[String] =
-    Seq("last-epoch", "watermark-ms", "purge-version")
+    Seq("last-epoch", "watermark-ms", "purge-version", "lsn-high-water")
 
   /** The subset of `summary` that must survive into the next commit. */
   def inheritLineage(summary: Map[String, String]): Map[String, String] =

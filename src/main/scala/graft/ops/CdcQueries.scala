@@ -119,14 +119,14 @@ object CdcQueries {
           batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
         // DELETE FROM t WHERE lang = 'click'
         graft.sql.GraftWrites.applyAndLog(s, t,
-          e => graft.sql.GraftWrites.toEvents(
+          e => graft.sql.GraftWrites.toEvents(t,
             t.readUser().filter(col("lang") === "click")
               .select("url", "warc_ts"), e, op = "D"),
           graft.sql.GraftWrites.allocatedEpoch(s, t))
         // UPDATE t SET content_len = content_len * 2 WHERE lang = 'view'
         // (built AFTER the delete commits, so it reads post-delete state)
         graft.sql.GraftWrites.applyAndLog(s, t,
-          e => graft.sql.GraftWrites.toEvents(
+          e => graft.sql.GraftWrites.toEvents(t,
             t.readUser().filter(col("lang") === "view")
               .withColumn("content_len", col("content_len") * 2), e),
           graft.sql.GraftWrites.allocatedEpoch(s, t))

@@ -374,11 +374,38 @@ private[graft] object GraftWrites {
     Seq(Row(s.epoch, s.applied, s.eventsIn, s.rowsApplied, s.conflicts, s.deletes))
   }
 
+  /** Band index (the value to shift left by 44) for a statement's
+    * synthetic LSNs: one band per epoch, ESCALATED above the table's
+    * monotone `lsn-high-water` so the minted LSNs exceed every LSN ever
+    * applied — without the escalation a producer with large raw LSNs
+    * (binlog byte offsets, nanosecond timestamps) would beat a row-level
+    * DELETE/UPDATE tombstone's (warc_ts, lsn) tie and the statement would
+    * silently no-op. Metadata-only: one summary read, no data scan.
+    * Pre-upgrade tables without the key fall back to the epoch band (the
+    * old behavior). Overflow (band ≥ 2^19 ⇒ band·2^44 tops signed 64-bit)
+    * raises instead of wrapping into negative LSNs that lose every tie.
+    */
+  def syntheticBand(epoch: Long, table: LakeTable): Long = {
+    val hiWater = table.currentSnapshot.summary
+      .get("lsn-high-water").map(_.toLong)
+    // synthetic ids stay < 2^44 (coalesce(2047) bounds the partition id),
+    // so the first band strictly above hiWater's is collision-free
+    val band = math.max(epoch + 1, hiWater.map(h => (h >> 44) + 1)
+      .getOrElse(Long.MinValue))
+    require(band < (1L << 19),
+      s"synthetic LSN band $band would overflow the 64-bit LSN space " +
+        "(epoch or applied-LSN high-water too large for banded minting); " +
+        "route further writes through MERGE INTO with producer LSNs")
+    band
+  }
+
   /** User rows → change-event batch: op='U' throughout, with synthetic
-    * LSNs in the epoch's own band — (epoch+1)·2^44 + a within-job unique
-    * offset. Uniqueness is all the merge needs (the winner semi-join keys
-    * on LSN); the high band makes an insert win a warc_ts tie against
-    * older table rows, which is what "append" should mean. An imperative
+    * LSNs in the statement's own band — [[syntheticBand]]·2^44 + a
+    * within-job unique offset. Uniqueness is all the merge needs (the
+    * winner semi-join keys on LSN); the band sits above both every other
+    * epoch's band and the table's applied-LSN high-water, so an insert
+    * (or a delete/update tombstone) wins a warc_ts tie against any older
+    * table row, which is what imperative DML must mean. An imperative
     * INSERT is not a replayed binlog, so lineage-stable numbering (the W4
     * discipline) is deliberately NOT paid here.
     *
@@ -388,8 +415,8 @@ private[graft] object GraftWrites {
     * shuffle (an imperative INSERT's write parallelism, not the binlog
     * path).
     */
-  def toEvents(userRows: org.apache.spark.sql.DataFrame, epoch: Long,
-      op: String = "U"): org.apache.spark.sql.DataFrame = {
+  def toEvents(table: LakeTable, userRows: org.apache.spark.sql.DataFrame,
+      epoch: Long, op: String = "U"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // UNCONDITIONAL coalesce: it is a plan-level no-op when the source
     // already has fewer partitions, while probing .rdd.getNumPartitions
@@ -399,7 +426,8 @@ private[graft] object GraftWrites {
     // review)
     userRows.coalesce(2047)
       .withColumn("op", lit(op))
-      .withColumn("lsn", lit((epoch + 1) * (1L << 44)) + monotonically_increasing_id())
+      .withColumn("lsn",
+        lit(syntheticBand(epoch, table) * (1L << 44)) + monotonically_increasing_id())
   }
 
   /** Align an INSERT source to the table's user columns: by name (missing
@@ -463,7 +491,7 @@ case class GraftInsertCommand(tableDir: String, source: LogicalPlan,
     val target = table.registrySchemaFor(table.currentSnapshot.schemaId)
     val aligned = GraftWrites.alignInsert(src, target, byName)
     GraftWrites.applyAndLog(session, table,
-      e => GraftWrites.toEvents(aligned, e),
+      e => GraftWrites.toEvents(table, aligned, e),
       GraftWrites.allocatedEpoch(session, table))
   }
 }
@@ -492,7 +520,7 @@ case class GraftOverwriteCommand(tableDir: String, source: LogicalPlan,
     val target = table.registrySchemaFor(table.currentSnapshot.schemaId)
     val aligned = GraftWrites.alignInsert(src, target, byName)
     GraftWrites.applyAndLog(session, table,
-      e => GraftWrites.toEvents(aligned, e),
+      e => GraftWrites.toEvents(table, aligned, e),
       GraftWrites.allocatedEpoch(session, table), truncate = true)
   }
 }
@@ -521,7 +549,7 @@ case class GraftDeleteCommand(tableDir: String, matchedRows: LogicalPlan)
     val table = LakeTable.load(session, tableDir)
     val matched = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, matchedRows)
     GraftWrites.applyAndLog(session, table,
-      e => GraftWrites.toEvents(matched, e, op = "D"),
+      e => GraftWrites.toEvents(table, matched, e, op = "D"),
       GraftWrites.allocatedEpoch(session, table))
   }
 }
@@ -547,7 +575,7 @@ case class GraftUpdateCommand(tableDir: String, updatedRows: LogicalPlan)
     val table = LakeTable.load(session, tableDir)
     val updated = org.apache.spark.sql.graftshim.Bridge.ofRows(classic, updatedRows)
     GraftWrites.applyAndLog(session, table,
-      e => GraftWrites.toEvents(updated, e),
+      e => GraftWrites.toEvents(table, updated, e),
       GraftWrites.allocatedEpoch(session, table))
   }
 }
@@ -594,7 +622,7 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     // practical window (post-commit failures, rivals that landed before
     // the CTAS write failed).
     try GraftWrites.applyAndLog(session, table,
-      e => GraftWrites.toEvents(src, e),
+      e => GraftWrites.toEvents(table, src, e),
       GraftWrites.allocatedEpoch(session, table))
     catch { case e: Throwable =>
       try {

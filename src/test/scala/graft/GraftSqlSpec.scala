@@ -674,6 +674,42 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level DELETE/UPDATE beat producers with large raw LSNs") {
+    // A real binlog's LSNs can be byte offsets or ns timestamps (~1.6e18)
+    // — far above the per-epoch synthetic band (epoch+1)·2^44. Without
+    // the lsn-high-water escalation the DELETE tombstone LOSES its
+    // (warc_ts, lsn) tie against the live row and the statement silently
+    // no-ops. This pins the escalated band.
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlhilsn")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      val hugeLsn = 1600000000000000000L // ≫ any epoch band
+      s.sql(mergeSql(dir,
+        s"""SELECT * FROM VALUES
+           |  (${hugeLsn}L, 'U', 'http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'ta', 'en', 1L),
+           |  (${hugeLsn + 1}L, 'U', 'http://b', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'tb', 'en', 2L)
+           |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin))
+        .collect()
+      s.sql(s"DELETE FROM graft.`$dir` WHERE url = 'http://a'").collect()
+      assert(s.sql(s"SELECT url FROM graft.`$dir`").collect()
+        .map(_.getString(0)).toSeq == Seq("http://b"))
+      s.sql(s"UPDATE graft.`$dir` SET content_len = 99 WHERE url = 'http://b'")
+        .collect()
+      assert(s.sql(s"SELECT content_len FROM graft.`$dir`").head().getLong(0) == 99L)
+      // the minted LSNs escalated ABOVE the producer's, and the high-water
+      // advanced with them (so the NEXT statement escalates further)
+      val hi = graft.lake.LakeTable.load(s, dir).currentSnapshot
+        .summary("lsn-high-water").toLong
+      assert(hi > hugeLsn + 1)
+      // a plain INSERT also ties-and-wins against the huge-LSN row
+      s.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        "('http://b', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'tb2', 'en', 7L)")
+        .collect()
+      assert(s.sql(s"SELECT text FROM graft.`$dir` WHERE url = 'http://b'")
+        .head().getString(0) == "tb2")
+    }
+  }
+
   test("TIMESTAMP AS OF pins the read to the latest snapshot at that instant") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlts")
