@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   *                                                 --follow --interval 5 [--duration-sec 3600]
   *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
   *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
-  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed]
+  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed] [--cdf]
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed \
   *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
@@ -170,22 +170,32 @@ object Main {
         emitted.map(emissionLine("emitted", _)) ++ report(spark, table)
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move
-        // from snapshot --from to --to (defaults: last commit's delta)
+        // from snapshot --from to --to (defaults: last commit's delta).
+        // --cdf emits the change-data-feed shape instead: before images
+        // (_change_type update_preimage/update_postimage/insert/delete)
+        // for derived-aggregate maintenance by retraction.
         val t = LakeTable.load(spark, table)
         val to = opts.get("to").map(_.toInt).getOrElse(t.currentVersion)
         // floor -1, not 0: on a table whose only commit is v0 the default
         // delta is the full initial changelog, not a silent empty range
         val from = opts.get("from").map(_.toInt).getOrElse(math.max(-1, to - 1))
-        val df = t.changesBetween(from, to)
+        val asCdf = opts.contains("cdf")
+        val df = if (asCdf) t.changesBetweenCdf(from, to)
+          else t.changesBetween(from, to)
         opts.get("out").foreach(o => df.write.mode("overwrite").parquet(o))
         // count from the materialized export when one was written — the
         // changelog plan is data-sized and must not execute twice
         val counted = opts.get("out").map(spark.read.parquet(_)).getOrElse(df)
-        val byOp = counted.groupBy("_op").count().collect()
+        val tagCol = if (asCdf) "_change_type" else "_op"
+        val byOp = counted.groupBy(tagCol).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        Seq(s"changes $from->$to upserts=${byOp.getOrElse("U", 0L)} " +
-          s"deletes=${byOp.getOrElse("D", 0L)}" +
-          opts.get("out").map(o => s" written=$o").getOrElse(""))
+        val summary = if (asCdf)
+          s"cdf $from->$to " + Seq("insert", "update_preimage",
+            "update_postimage", "delete")
+            .map(k => s"$k=${byOp.getOrElse(k, 0L)}").mkString(" ")
+        else s"changes $from->$to upserts=${byOp.getOrElse("U", 0L)} " +
+          s"deletes=${byOp.getOrElse("D", 0L)}"
+        Seq(summary + opts.get("out").map(o => s" written=$o").getOrElse(""))
       case "show" =>
         report(spark, table)
       case other =>

@@ -301,6 +301,22 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     *    the check survives expiry of the compaction snapshot itself.
     */
   def changesBetween(from: Int, to: Int): DataFrame = {
+    validateChangeRange(from, to)
+    val b = snapshot(to)
+    // a full-snapshot bootstrap (from = -1) is valid regardless of purges
+    // — it emits the complete to-state, not a delta across the purge
+    if (from == -1) return read(b)
+    fencePurge(from, to, b)
+    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
+    val after = readBuckets(b, changedBuckets)
+    if (from == to || changedBuckets.isEmpty) return after.limit(0)
+    val before = readBuckets(snapshot(from), changedBuckets)
+      .select(col("url"), col(graft.core.Schemas.LsnCol))
+    after.join(before, Seq("url", graft.core.Schemas.LsnCol), "left_anti")
+      .select(after.columns.map(col).toSeq: _*)
+  }
+
+  private def validateChangeRange(from: Int, to: Int): Unit = {
     require(from <= to, s"changesBetween: from=$from > to=$to")
     require(from >= -1, s"changesBetween: from=$from (use -1 for the " +
       "initial full-snapshot changelog)")
@@ -313,10 +329,9 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
           "the retention horizon must re-bootstrap with from = -1")
     checkPresent(to, "to")
     if (from >= 0) checkPresent(from, "from")
-    val b = snapshot(to)
-    // a full-snapshot bootstrap (from = -1) is valid regardless of purges
-    // — it emits the complete to-state, not a delta across the purge
-    if (from == -1) return read(b)
+  }
+
+  private def fencePurge(from: Int, to: Int, b: Snapshot): Unit =
     b.summary.get("purge-version").map(_.toInt)
       .filter(p => p > from && p <= to)
       .foreach(p => throw new IllegalStateException(
@@ -324,7 +339,13 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
           s"v$p invalidates deltas crossing it (purged deletes would be " +
           "silently lost); re-bootstrap the replica with from = -1 or " +
           s"read from v$p forward"))
-    val a = snapshot(from)
+
+  /** Buckets whose file sets differ between two snapshots, loading only
+    * the manifests of bucket GROUPS whose refs differ (metadata-only on
+    * carried-by-reference groups).
+    */
+  private def changedBucketsBetween(a: Snapshot,
+      b: Snapshot): (Set[Int], Boolean) = {
     val aRefs = a.manifests.map(m => m.group -> m.path).toMap
     val bRefs = b.manifests.map(m => m.group -> m.path).toMap
     val changedGroups = (aRefs.keySet ++ bRefs.keySet)
@@ -336,14 +357,79 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       .mapValues(_.map(_.path).toSet).toMap
     val bByBucket = sideFiles(b).groupBy(_.bucket).view
       .mapValues(_.map(_.path).toSet).toMap
-    val changedBuckets = (aByBucket.keySet ++ bByBucket.keySet)
+    val changed = (aByBucket.keySet ++ bByBucket.keySet)
       .filter(k => aByBucket.get(k) != bByBucket.get(k))
+    (changed, changedGroups.nonEmpty)
+  }
+
+  /** Change-data-feed read: [[changesBetween]] with BEFORE images — the
+    * Delta/Iceberg CDF shape. Each visible state transition in
+    * (from, to] emits rows tagged `_change_type`:
+    *  - `insert` — key visible in `to` but not in `from` (includes an
+    *    undelete: tombstone → live has no visible before-state);
+    *  - `update_preimage` + `update_postimage` — key visible on both
+    *    sides with a changed (url, _lsn): the `from` row and the `to`
+    *    row, one of each;
+    *  - `delete` — key visible in `from`, tombstoned in `to`; the row
+    *    carries the DELETED payload (the before image — strictly more
+    *    useful than the tombstone's nulls, and what Delta CDF emits).
+    * Tombstone-to-tombstone churn (no visible state change) emits
+    * nothing. `_commit_version` stamps the range end `to` — like any
+    * coarse multi-commit diff, intermediate churn collapses to the net
+    * transition. `_op` is replaced by `_change_type`; `_lsn` is the
+    * emitted image's own version.
+    *
+    * Why it exists: after-image deltas can maintain a replica (upsert +
+    * tombstone), but NOT a derived aggregate — SUM/COUNT maintenance
+    * needs the retraction (preimage) of every updated/deleted row.
+    * Scale shape identical to [[changesBetween]]: metadata-first bucket
+    * diff, reads only changed buckets on both sides, one extra
+    * broadcast-or-shuffled semi-join to pull the before rows, all
+    * per-url (≤1 live row per side by the lake's latest-state
+    * invariant).
+    */
+  def changesBetweenCdf(from: Int, to: Int): DataFrame = {
+    import graft.core.Schemas.{LsnCol, OpCol}
+    validateChangeRange(from, to)
+    val b = snapshot(to)
+    val ver = lit(to).as("_commit_version")
+    if (from == -1)
+      return read(b).filter(col(OpCol) =!= "D").drop(OpCol)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(to))
+    fencePurge(from, to, b)
+    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
     val after = readBuckets(b, changedBuckets)
-    if (from == to || changedBuckets.isEmpty) return after.limit(0)
-    val before = readBuckets(a, changedBuckets)
-      .select(col("url"), col(graft.core.Schemas.LsnCol))
-    after.join(before, Seq("url", graft.core.Schemas.LsnCol), "left_anti")
-      .select(after.columns.map(col).toSeq: _*)
+    def emptyCdf = after.limit(0).drop(OpCol)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(to))
+      .limit(0)
+    if (from == to || changedBuckets.isEmpty) return emptyCdf
+    val before = readBuckets(snapshot(from), changedBuckets)
+    val cols = after.columns
+    // net-new (url, _lsn) rows of `to` = every key whose state moved
+    val moved = after.join(before.select(col("url"), col(LsnCol)),
+      Seq("url", LsnCol), "left_anti")
+      .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_a"))
+    // before rows for exactly the moved keys (semi-join, not a full diff)
+    val pre = before
+      .join(moved.select(col("_u").as("url")).distinct(), Seq("url"), "left_semi")
+      .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_p"))
+    val j = moved.join(pre, Seq("_u"), "left_outer")
+    val aliveA = col(s"_a.$OpCol") =!= "D"
+    val aliveP = col("_p").isNotNull && col(s"_p.$OpCol") =!= "D"
+    val posts = j.select(
+      when(!aliveA && aliveP, col("_p")).otherwise(col("_a")).as("_row"),
+      when(aliveA && aliveP, "update_postimage")
+        .when(aliveA, "insert")
+        .when(aliveP, "delete")
+        .otherwise(null).as("_change_type"))
+      .filter(col("_change_type").isNotNull)
+    val pres = j.filter(aliveA && aliveP)
+      .select(col("_p").as("_row"), lit("update_preimage").as("_change_type"))
+    posts.unionByName(pres)
+      .select(cols.filterNot(_ == OpCol).map(c => col(s"_row.$c")).toSeq
+        :+ col("_change_type") :+ ver: _*)
   }
 
   /** Latest version whose commit wall-clock is at or before `tsMillis`

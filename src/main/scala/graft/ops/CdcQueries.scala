@@ -34,6 +34,7 @@ object CdcQueries {
   private lazy val replSrcDir: String = lakeDir("repl-src")
   private lazy val replDstDir: String = lakeDir("repl-dst")
   private lazy val replCkptDir: String = lakeDir("repl-ckpt")
+  private lazy val cdfDir: String = lakeDir("cdf")
 
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
   private def fresh(dir: String): String = {
@@ -192,6 +193,78 @@ object CdcQueries {
              |       CAST(floor(value) AS BIGINT) AS last_value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin))
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // Change-data-feed with BEFORE images (changesBetweenCdf — the
+    // Delta/Iceberg CDF shape): replay the 3-epoch log, then read the
+    // LAST epoch's cdf delta. The oracle computes the argmax state after
+    // epochs 0-1 and after 0-2 and classifies every key whose winner
+    // moved: update_preimage/update_postimage pairs, inserts (incl.
+    // undeletes), deletes carrying the BEFORE payload — so the before-
+    // image semantics (what a derived-aggregate maintainer retracts)
+    // verify against DuckDB end to end.
+    QueryDef(
+      "cdc_cdf",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val cut1 = maxLsn / 3
+        val cut2 = 2 * maxLsn / 3
+        val t = LakeTable.create(s, fresh(cdfDir), schemaId = 3,
+          numBuckets = 8)
+        Seq(
+          log.filter(col("lsn") <= cut1),
+          log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
+          log.filter(col("lsn") > cut2)
+        ).zipWithIndex.foreach { case (batch, epoch) =>
+          val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+        }
+        log.unpersist()
+        t.changesBetweenCdf(2, 3).select(
+          col("url").as("user_key"),
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("text").as("last_props"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"),
+          col("_change_type").as("change_type"),
+          col("_lsn").as("lsn"))
+      },
+      // s2 = argmax state after epochs 0-1 (lsn <= 2*max/3, integer
+      // division), s3 = after all epochs; classify winners that moved.
+      Some("""WITH ev AS (
+             |  SELECT event_id AS lsn,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |         'user:' || user_id AS url, ts, props, event_type,
+             |         CAST(floor(value) AS BIGINT) AS value
+             |  FROM events),
+             |cut AS (SELECT (2 * max(lsn)) // 3 AS c FROM ev),
+             |s2 AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY url
+             |      ORDER BY ts DESC, lsn DESC) AS rn
+             |    FROM ev WHERE lsn <= (SELECT c FROM cut)) WHERE rn = 1),
+             |s3 AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY url
+             |      ORDER BY ts DESC, lsn DESC) AS rn FROM ev) WHERE rn = 1),
+             |moved AS (
+             |  SELECT s3.url AS url, s3.op AS op3, s3.ts AS ts3,
+             |         s3.props AS p3, s3.event_type AS et3, s3.value AS v3,
+             |         s3.lsn AS l3, s2.op AS op2, s2.ts AS ts2,
+             |         s2.props AS p2, s2.event_type AS et2, s2.value AS v2,
+             |         s2.lsn AS l2
+             |  FROM s3 LEFT JOIN s2 ON s3.url = s2.url
+             |  WHERE s2.lsn IS DISTINCT FROM s3.lsn)
+             |SELECT url AS user_key, ts3 AS last_ts, p3 AS last_props,
+             |       et3 AS last_type, v3 AS last_value,
+             |       CASE WHEN op2 = 'U' THEN 'update_postimage'
+             |            ELSE 'insert' END AS change_type, l3 AS lsn
+             |FROM moved WHERE op3 = 'U'
+             |UNION ALL
+             |SELECT url, ts2, p2, et2, v2, 'update_preimage', l2
+             |FROM moved WHERE op3 = 'U' AND op2 = 'U'
+             |UNION ALL
+             |SELECT url, ts2, p2, et2, v2, 'delete', l2
+             |FROM moved WHERE op3 = 'D' AND op2 = 'U'""".stripMargin))
   )
 }

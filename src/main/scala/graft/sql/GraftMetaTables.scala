@@ -19,7 +19,8 @@ import scala.jdk.CollectionConverters._
 object GraftMetaTables {
 
   val kinds: Set[String] =
-    Set("history", "files", "manifests", "metrics", "partitions", "changes")
+    Set("history", "files", "manifests", "metrics", "partitions", "changes",
+      "cdf")
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -98,6 +99,15 @@ object GraftMetaTables {
         .getOrElse(math.max(-1, to - 1))
       return lake.changesBetween(from, to)
     }
+    // $cdf: the changelog WITH before images (update_preimage /
+    // update_postimage / delete-with-payload) — same pin + conf range
+    // contract as $changes, distributed plan like it
+    if (kind == "cdf") {
+      val to = pinVersion.getOrElse(lake.currentVersion)
+      val from = spark.conf.getOption("graft.changes.from").map(_.toInt)
+        .getOrElse(math.max(-1, to - 1))
+      return lake.changesBetweenCdf(from, to)
+    }
     val rows: Seq[Row] = kind match {
       case "history" =>
         lake.existingVersions.map(lake.snapshot).map { s =>
@@ -134,12 +144,18 @@ final case class GraftMetaTable(dir: String, kind: String,
     pinVersion: Option[Int] = None) extends Table {
   override def name(): String = s"$dir$$$kind"
   override def schema(): StructType =
-    if (kind == "changes") {
-      // changelog rows carry the TABLE's schema (+ _lsn/_op), pinned to
-      // the `to` snapshot's registry version
+    if (kind == "changes" || kind == "cdf") {
+      // changelog rows carry the TABLE's schema (+ _lsn/_op for $changes;
+      // $cdf swaps _op for _change_type/_commit_version), pinned to the
+      // `to` snapshot's registry version
       val lake = LakeTable.load(SparkSession.active, dir)
-      lake.schemaFor(pinVersion.map(lake.snapshot(_).schemaId)
+      val base = lake.schemaFor(pinVersion.map(lake.snapshot(_).schemaId)
         .getOrElse(lake.currentSnapshot.schemaId))
+      if (kind == "changes") base
+      else StructType(
+        base.fields.filterNot(_.name == graft.core.Schemas.OpCol)
+          :+ StructField("_change_type", StringType, nullable = false)
+          :+ StructField("_commit_version", IntegerType, nullable = false))
     } else GraftMetaTables.schemaFor(kind)
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()

@@ -1,0 +1,133 @@
+package graft
+
+import graft.cdc.Merge
+import graft.lake.{LakeTable, Maintenance}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Change-data-feed read (LakeTable.changesBetweenCdf): the changelog
+  * WITH before images — what a derived-aggregate maintainer needs for
+  * retraction, which after-image deltas cannot provide.
+  */
+class CdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text",
+    "lang", "content_len")
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def ev(lsn: Long, op: String, url: String, t: java.sql.Timestamp,
+      text: String, lang: String = "en") =
+    (lsn, op, url, t, null: Array[Byte], text, lang,
+      Option(text).map(_.length.toLong).getOrElse(0L))
+
+  private def cdf(t: LakeTable, from: Int, to: Int): Set[(String, String, String)] =
+    t.changesBetweenCdf(from, to).select("url", "text", "_change_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("cdf: insert / update pre+post / delete-with-payload / churn suppressed") {
+    val dir = TestSpark.tempDir("cdf-table")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    // v1: initial inserts
+    val b0 = Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1"),
+      ev(3, "U", "http://d", ts("2024-01-01 00:00:02"), "d v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b0, 0, 3).applied)
+    // v2: update a, delete b, insert c, delete never-seen e; d untouched
+    val b1 = Seq(
+      ev(4, "U", "http://a", ts("2024-01-02 00:00:00"), "a v2"),
+      ev(5, "D", "http://b", ts("2024-01-02 00:00:01"), null),
+      ev(6, "U", "http://c", ts("2024-01-02 00:00:02"), "c v1"),
+      ev(7, "D", "http://e", ts("2024-01-02 00:00:03"), null)).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b1, 1, 3).applied)
+
+    // delete rows carry the BEFORE payload; e (tombstone of a never-seen
+    // key: no visible transition) emits nothing; d untouched emits nothing
+    assert(cdf(t, 1, 2) == Set(
+      ("http://a", "a v1", "update_preimage"),
+      ("http://a", "a v2", "update_postimage"),
+      ("http://b", "b v1", "delete"),
+      ("http://c", "c v1", "insert")))
+    // the preimage's _lsn is the OLD version, the postimage's the new
+    val byType = t.changesBetweenCdf(1, 2)
+      .filter($"url" === "http://a")
+      .select("_change_type", "_lsn").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 4L))
+    // _commit_version stamps the range end
+    assert(t.changesBetweenCdf(1, 2).select("_commit_version")
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+
+    // v3: undelete b — an insert (tombstone -> live has no visible before)
+    val b2 = Seq(
+      ev(8, "U", "http://b", ts("2024-01-03 00:00:00"), "b v2")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b2, 2, 3).applied)
+    assert(cdf(t, 2, 3) == Set(("http://b", "b v2", "insert")))
+
+    // coarse range collapses churn to the net transition: b went
+    // live("b v1") -> live("b v2") across (1, 3] = one update
+    assert(cdf(t, 1, 3) == Set(
+      ("http://a", "a v1", "update_preimage"),
+      ("http://a", "a v2", "update_postimage"),
+      ("http://b", "b v1", "update_preimage"),
+      ("http://b", "b v2", "update_postimage"),
+      ("http://c", "c v1", "insert")))
+
+    // bootstrap (-1): the visible state as inserts, tombstones excluded
+    assert(cdf(t, -1, 3) == Set(
+      ("http://a", "a v2", "insert"), ("http://b", "b v2", "insert"),
+      ("http://c", "c v1", "insert"), ("http://d", "d v1", "insert")))
+
+    // empty ranges keep the cdf schema
+    val empty = t.changesBetweenCdf(3, 3)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_change_type")
+      && empty.columns.contains("_commit_version")
+      && !empty.columns.contains(graft.core.Schemas.OpCol))
+
+    // a purge-tombstones compaction fences cdf ranges too (shared fence)
+    Maintenance.compact(spark, t, purgeTombstones = true)
+    val err = intercept[IllegalStateException] { t.changesBetweenCdf(2, 4) }
+    assert(err.getMessage.contains("purge"))
+  }
+
+  test("cdf maintains a derived aggregate by retraction, converging with recompute") {
+    val dir = TestSpark.tempDir("cdf-agg")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val rnd = new scala.util.Random(7)
+    val urls = (0 until 40).map(i => s"http://u$i")
+    var lsn = 0L
+    // 5 epochs of random churn: upserts with shifting lang + deletes
+    val batches = (0 until 5).map { e =>
+      Seq.tabulate(25) { i =>
+        lsn += 1
+        val url = urls(rnd.nextInt(urls.size))
+        if (rnd.nextInt(5) == 0) ev(lsn, "D", url, ts(f"2024-01-0${e + 1} 00:00:${i % 60}%02d"), null)
+        else ev(lsn, "U", url, ts(f"2024-01-0${e + 1} 00:00:${i % 60}%02d"),
+          s"t$lsn", lang = s"l${rnd.nextInt(3)}")
+      }.toDF(cols: _*)
+    }
+    batches.zipWithIndex.foreach { case (b, e) =>
+      assert(Merge.applyBatch(spark, t, b, e.toLong, 3).applied)
+    }
+    // Incremental maintenance: fold each per-commit cdf delta into
+    // (count, sum(content_len)) per lang — postimages/inserts add,
+    // preimages/deletes retract. This is the operation $changes cannot
+    // support (no before images).
+    var agg = Map.empty[String, (Long, Long)]
+    for (v <- 1 to t.currentVersion) {
+      t.changesBetweenCdf(v - 1, v)
+        .select("lang", "content_len", "_change_type").collect().foreach { r =>
+          val (lang, len, ct) = (r.getString(0), r.getLong(1), r.getString(2))
+          val sign = if (ct == "insert" || ct == "update_postimage") 1L else -1L
+          val (c0, s0) = agg.getOrElse(lang, (0L, 0L))
+          agg = agg.updated(lang, (c0 + sign, s0 + sign * len))
+        }
+    }
+    val recomputed = t.readUser().groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"),
+        org.apache.spark.sql.functions.sum("content_len").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(agg.filter(_._2._1 != 0L) == recomputed)
+  }
+}

@@ -158,6 +158,14 @@ class GraftSqlSpec extends AnyFunSuite {
         assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$changes` VERSION AS OF 0")
           .head().getLong(0) == 0L)
       } finally s.conf.unset("graft.changes.from")
+
+      // $cdf: the changelog with before images — both initial inserts,
+      // no _op column, _change_type/_commit_version present
+      val cdf = s.sql(
+        s"SELECT url, _change_type, _commit_version FROM graft.`$dir$$cdf`")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(cdf == Set(("http://a", "insert", 1), ("http://b", "insert", 1)))
+      assert(!s.table(s"graft.`$dir$$cdf`").columns.contains("_op"))
     }
   }
 

@@ -116,6 +116,13 @@ class MainSpec extends AnyFunSuite {
       .map(_.getFileName.toString).sorted
     assert(dirs.exists(_.startsWith("bootstrap_")) &&
       dirs.exists(_.startsWith("delta_")), dirs.mkString(","))
+
+    // batch `changes --cdf`: the same range as the delta, CDF-shaped —
+    // b was inserted in (v1, v2], so one insert, no pre/postimages
+    val cdfOut = Main.run(spark, Seq("changes", "--table", dir,
+      "--from", "1", "--cdf"))
+    assert(cdfOut.exists(_.startsWith("cdf 1->2 insert=1 update_preimage=0 " +
+      "update_postimage=0 delete=0")), cdfOut.mkString("; "))
   }
 
   test("CLI replicate mirrors a table through the changelog: bootstrap, " +
