@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> replay  --table /lake/pages --log /wal [--max-chunks N]
   *   spark-submit --class graft.Main <jar> merge   --table /lake/pages --batch /staged.parquet --epoch 7
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --from 3 [--to 7] [--out /feed] [--cdf]
+  *   spark-submit --class graft.Main <jar> materialize --source /lake/pages --table /agg/by-lang \
+  *                                                 --checkpoint /ck/agg.v --group lang [--sum content_len] \
+  *                                                 [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed \
   *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
@@ -147,6 +150,29 @@ object Main {
           until = () => !opts.contains("follow"),
           rebootstrap = opts.contains("rebootstrap"))
         emitted.map(emissionLine("applied", _)) ++ report(spark, table)
+      case "materialize" =>
+        // CDC OUT, aggregated: maintain a per-group count/sum aggregate
+        // of the source table incrementally from its CDF (retraction via
+        // before images) — never recomputing the groupBy after bootstrap.
+        // Default drains to caught-up and exits; --follow keeps folding.
+        val src = opts.getOrElse("source",
+          sys.error("materialize requires --source <dir>"))
+        val ck = opts.getOrElse("checkpoint",
+          sys.error("materialize requires --checkpoint <file>"))
+        val group = opts.getOrElse("group",
+          sys.error("materialize requires --group <col[,col…]>"))
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val sums = opts.get("sum").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val emitted = graft.cdc.MaterializedAgg.maintain(spark, src, table,
+          ck, group, sums,
+          intervalMs = intervalMs(opts), durationMs = durationMs(opts),
+          until = () => !opts.contains("follow"),
+          rebootstrap = opts.contains("rebootstrap"))
+        emitted.map(emissionLine("folded", _)) ++
+          graft.cdc.MaterializedAgg.readState(spark, table, ck).toSeq
+            .map(st => s"state groups=${st.count()} at v${
+              graft.cdc.ChangeFeed.lastEmitted(ck)}")
       case "changes" if opts.contains("follow") =>
         // CDC OUT, continuous: tail the changelog — per poll, emit the
         // delta since the checkpointed version into a range-keyed parquet
@@ -200,7 +226,7 @@ object Main {
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|changes|replicate|compact|rebucket|expire|gc|show)")
+          "(create|tail|replay|merge|changes|materialize|replicate|compact|rebucket|expire|gc|show)")
     }
   }
 

@@ -69,13 +69,16 @@ object ChangeFeed {
     */
   def pollOnce(spark: SparkSession, tableDir: String, checkpointFile: String,
       onDelta: (Int, Int, DataFrame) => Long,
-      rebootstrap: Boolean = false): Option[Emitted] = {
+      rebootstrap: Boolean = false,
+      cdf: Boolean = false): Option[Emitted] = {
     val table = LakeTable.load(spark, tableDir)
+    def changes(f: Int, t: Int): DataFrame =
+      if (cdf) table.changesBetweenCdf(f, t) else table.changesBetween(f, t)
     val current = table.currentVersion
     val from = lastEmitted(checkpointFile)
     if (current <= from) return None
     val (effFrom, delta) =
-      try (from, table.changesBetween(from, current))
+      try (from, changes(from, current))
       catch {
         // retention breach (expired `from`) or purge inside the range:
         // with the operator's opt-in, degrade to a full-snapshot resync
@@ -85,7 +88,7 @@ object ChangeFeed {
           System.err.println(s"[graft] change feed $checkpointFile cannot " +
             s"read v$from->v$current (${e.getMessage}); re-bootstrapping " +
             "with a full snapshot")
-          (-1, table.changesBetween(-1, current))
+          (-1, changes(-1, current))
       }
     val rows = onDelta(effFrom, current, delta)
     writeCheckpoint(checkpointFile, current)
@@ -230,12 +233,14 @@ object ChangeFeed {
       intervalMs: Long = 5000L,
       durationMs: Option[Long] = None,
       until: () => Boolean = () => false,
-      rebootstrap: Boolean = false): Seq[Emitted] = {
+      rebootstrap: Boolean = false,
+      cdf: Boolean = false): Seq[Emitted] = {
     val deadline = durationMs.map(System.nanoTime() + _ * 1000000L)
     val out = Seq.newBuilder[Emitted]
     var done = false
     while (!done) {
-      val emitted = pollOnce(spark, tableDir, checkpointFile, onDelta, rebootstrap)
+      val emitted =
+        pollOnce(spark, tableDir, checkpointFile, onDelta, rebootstrap, cdf)
       emitted.foreach(out += _)
       val caughtUp = emitted.isEmpty
       done = (until() && caughtUp) ||

@@ -123,6 +123,18 @@ class MainSpec extends AnyFunSuite {
       "--from", "1", "--cdf"))
     assert(cdfOut.exists(_.startsWith("cdf 1->2 insert=1 update_preimage=0 " +
       "update_postimage=0 delete=0")), cdfOut.mkString("; "))
+
+    // `materialize`: incremental per-lang aggregate from the CDF
+    val aggDir = TestSpark.tempDir("cli-changes-agg")
+    val aggCk = TestSpark.tempDir("cli-changes-aggck") + "/agg.v"
+    val mOut = Main.run(spark, Seq("materialize", "--source", dir,
+      "--table", aggDir, "--checkpoint", aggCk,
+      "--group", "lang", "--sum", "content_len"))
+    assert(mOut.exists(_.contains(s"state groups=1 at v${t.currentVersion}")),
+      mOut.mkString("; "))
+    val st = graft.cdc.MaterializedAgg.readState(spark, aggDir, aggCk).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(st.toSeq == Seq(("en", 2L, 12L)), st.mkString(","))
   }
 
   test("CLI replicate mirrors a table through the changelog: bootstrap, " +
