@@ -59,7 +59,7 @@ final case class VersionOffset(version: Long) extends Offset {
   */
 final class ChangelogSource(spark: SparkSession, tableDir: String,
     declaredSchema: StructType, initialFrom: Int,
-    maxVersionsPerBatch: Option[Int])
+    maxVersionsPerBatch: Option[Int], cdf: Boolean = false)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = declaredSchema
@@ -99,8 +99,9 @@ final class ChangelogSource(spark: SparkSession, tableDir: String,
     val to = versionOf(end).toInt
     // align: a mid-stream ALTER TABLE adds columns to the delta; the
     // stream keeps its declared schema until restart
-    val delta = LakeTable.align(table.changesBetween(from, to), declaredSchema)
-    Bridge.asStreamingFrame(delta)
+    val changes = if (cdf) table.changesBetweenCdf(from, to)
+      else table.changesBetween(from, to)
+    Bridge.asStreamingFrame(LakeTable.align(changes, declaredSchema))
   }
 
   override def deserializeOffset(json: String): OffsetV2 =
@@ -124,12 +125,34 @@ final class GraftChangelogProvider extends StreamSourceProvider with DataSourceR
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changelog: set .option(\"path\", <lake table dir>)"))
 
+  /** `option("cdf", "true")` emits the change-data-feed shape instead of
+    * after-image deltas: `_op` replaced by `_change_type`
+    * (insert / update_preimage / update_postimage / delete-with-payload)
+    * + `_commit_version` — for foreachBatch consumers maintaining derived
+    * state by retraction (e.g. [[graft.cdc.MaterializedAgg]]'s streaming
+    * twin), NOT for the `graft-lake` sink (which applies upsert/tombstone
+    * events).
+    */
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("cdf").exists(_.trim.equalsIgnoreCase("true"))
+
+  private def declaredFor(t: LakeTable, parameters: Map[String, String]): StructType = {
+    val base = t.schemaFor(t.currentSnapshot.schemaId)
+    if (!isCdf(parameters)) base
+    else StructType(
+      base.fields.filterNot(_.name == graft.core.Schemas.OpCol)
+        :+ org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)
+        :+ org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val t = LakeTable.load(sqlContext.sparkSession, tableDir(parameters))
     (s"${shortName()}:${tableDir(parameters)}",
-      schema.getOrElse(t.schemaFor(t.currentSnapshot.schemaId)))
+      schema.getOrElse(declaredFor(t, parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -138,7 +161,7 @@ final class GraftChangelogProvider extends StreamSourceProvider with DataSourceR
     val spark = sqlContext.sparkSession
     val dir = tableDir(parameters)
     val t = LakeTable.load(spark, dir)
-    val declared = schema.getOrElse(t.schemaFor(t.currentSnapshot.schemaId))
+    val declared = schema.getOrElse(declaredFor(t, parameters))
     // `startingVersion` resolves ONCE per checkpoint and persists under
     // the source's metadataPath (the Kafka-source pattern): without it, a
     // restart that re-resolved "latest" against a since-moved table would
@@ -157,7 +180,8 @@ final class GraftChangelogProvider extends StreamSourceProvider with DataSourceR
     val maxV = parameters.get("maxVersionsPerBatch").map(_.trim.toInt)
     require(maxV.forall(_ >= 1),
       s"graft-changelog: maxVersionsPerBatch must be >= 1, got $maxV")
-    new ChangelogSource(spark, dir, declared, initialFrom, maxV)
+    new ChangelogSource(spark, dir, declared, initialFrom, maxV,
+      cdf = isCdf(parameters))
   }
 
   // metadataPath may carry a scheme (file:/…), so go through Hadoop FS

@@ -128,6 +128,51 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(urls == Set("http://new")) // no bootstrap of http://old
   }
 
+  test("cdf option streams before images; a foreachBatch aggregate " +
+    "maintained by retraction converges with recompute") {
+    val srcDir = TestSpark.tempDir("clog-cdf-src")
+    val ckpt = TestSpark.tempDir("clog-cdf-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    // streaming state: (cnt, sum(content_len)) — retraction-maintained
+    val agg = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-changelog")
+        .option("path", srcDir).option("cdf", "true").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("lang", "content_len", "_change_type").collect()
+            .foreach { r =>
+              val sign = if (r.getString(2) == "insert"
+                || r.getString(2) == "update_postimage") 1L else -1L
+              val (c0, s0) = agg.getOrElse(r.getString(0), (0L, 0L))
+              agg.update(r.getString(0), (c0 + sign, s0 + sign * r.getLong(1)))
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // epoch 0: inserts; drain 1 is the full-snapshot bootstrap as inserts
+    val b0 = Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "bb v1")).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b0, 0, 3).applied)
+    drainCdf()
+    // epoch 1: update a (len 4->7), delete b; drain 2 must retract both
+    val b1 = Seq(
+      ev(3, "U", "http://a", ts("2024-01-02 00:00:00"), "a v2 +2"),
+      ev(4, "D", "http://b", ts("2024-01-02 00:00:01"), null)).toDF(cols: _*)
+    assert(Merge.applyBatch(spark, src, b1, 1, 3).applied)
+    drainCdf()
+    val recomputed = src.readUser().groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"),
+        org.apache.spark.sql.functions.sum("content_len").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(agg.filter(_._2._1 != 0L).toMap == recomputed)
+  }
+
   test("randomized log + random drain points: streaming replica always converges") {
     val rnd = new scala.util.Random(4242)
     val srcDir = TestSpark.tempDir("clog-rand-src")

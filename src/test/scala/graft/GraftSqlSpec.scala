@@ -682,6 +682,48 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent SQL INSERTs all land exactly once through the epoch-retry loop") {
+    // 5 threads race INSERT INTO one table: each races the exactly-once
+    // gate (a rival can commit our auto-allocated epoch before our gate
+    // check → re-allocate) and the optimistic commit (rival wins the
+    // version → 'concurrent commit lost' → re-allocate). With k threads a
+    // statement can lose at most k-1 races, inside the retry budget — so
+    // every statement must report applied=true at a DISTINCT epoch and
+    // every row must land exactly once.
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlrace")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      val n = 5
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.Row]()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      (0 until n).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try results.put(i, s.sql(
+              s"INSERT INTO graft.`$dir` VALUES ('http://r$i', " +
+                "TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), " +
+                s"'t$i', 'en', ${i}L)").collect().head)
+            catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errors.isEmpty, errors.toArray.mkString("; "))
+      import scala.jdk.CollectionConverters._
+      val rows = results.values().asScala.toSeq
+      assert(rows.size == n)
+      // every statement applied (never silently swallowed) …
+      assert(rows.forall(_.getBoolean(1)), rows.mkString("; "))
+      // … at its own epoch …
+      assert(rows.map(_.getLong(0)).distinct.size == n)
+      // … and every row landed exactly once
+      val urls = s.sql(s"SELECT url FROM graft.`$dir` ORDER BY url")
+        .collect().map(_.getString(0)).toSeq
+      assert(urls == (0 until n).map(i => s"http://r$i"))
+    }
+  }
+
   test("row-level DELETE/UPDATE beat producers with large raw LSNs") {
     // A real binlog's LSNs can be byte offsets or ns timestamps (~1.6e18)
     // — far above the per-epoch synthetic band (epoch+1)·2^44. Without
