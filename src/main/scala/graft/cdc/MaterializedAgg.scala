@@ -72,7 +72,19 @@ object MaterializedAgg {
         // a replayed range rewrites the identical content
         val out = statePath(stateDir, to).toString
         next.coalesce(1).write.mode("overwrite").parquet(out)
-        spark.read.parquet(out).count()
+        val n = spark.read.parquet(out).count()
+        // prune states older than the fold base: the base (v=from) must
+        // survive until the checkpoint advances past it (crash replay
+        // re-folds onto it); anything older is unreachable
+        graft.core.Fs.list(Paths.get(stateDir)).foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("state_v") && name.endsWith(".parquet")) {
+            name.stripPrefix("state_v").stripSuffix(".parquet").toIntOption
+              .filter(v => v < from)
+              .foreach(_ => graft.core.Fs.deleteRecursively(p))
+          }
+        }
+        n
       },
       intervalMs = intervalMs, durationMs = durationMs, until = until,
       rebootstrap = rebootstrap, cdf = true)

@@ -89,5 +89,11 @@ class MaterializedAggSpec extends AnyFunSuite {
     // groups fully retracted must be absent, not zero-count rows
     assert(MaterializedAgg.readState(spark, stateDir, ck).get
       .filter($"cnt" === 0L).count() == 0)
+
+    // state pruning: only the fold base and the current state survive
+    val states = graft.core.Fs.list(java.nio.file.Paths.get(stateDir))
+      .map(_.getFileName.toString).filter(_.startsWith("state_v")).sorted
+    assert(states == Seq(s"state_v$prev.parquet", s"state_v$current.parquet"),
+      states.mkString(","))
   }
 }
