@@ -411,25 +411,30 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     val moved = after.join(before.select(col("url"), col(LsnCol)),
       Seq("url", LsnCol), "left_anti")
       .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_a"))
-    // before rows for exactly the moved keys (semi-join, not a full diff)
+    // LEFT OUTER from moved pulls exactly the moved keys' before rows —
+    // ≤1 per url by the latest-state invariant
     val pre = before
-      .join(moved.select(col("_u").as("url")).distinct(), Seq("url"), "left_semi")
       .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_p"))
     val j = moved.join(pre, Seq("_u"), "left_outer")
     val aliveA = col(s"_a.$OpCol") =!= "D"
     val aliveP = col("_p").isNotNull && col(s"_p.$OpCol") =!= "D"
-    val posts = j.select(
-      when(!aliveA && aliveP, col("_p")).otherwise(col("_a")).as("_row"),
-      when(aliveA && aliveP, "update_postimage")
-        .when(aliveA, "insert")
-        .when(aliveP, "delete")
-        .otherwise(null).as("_change_type"))
-      .filter(col("_change_type").isNotNull)
-    val pres = j.filter(aliveA && aliveP)
-      .select(col("_p").as("_row"), lit("update_preimage").as("_change_type"))
-    posts.unionByName(pres)
-      .select(cols.filterNot(_ == OpCol).map(c => col(s"_row.$c")).toSeq
-        :+ col("_change_type") :+ ver: _*)
+    // ONE pass over the join (a union of two selects would evaluate the
+    // whole moved⋈pre subtree — and its changed-bucket scans — twice):
+    // each joined row explodes into its post-side emission and, for
+    // updates, the preimage; null-typed legs filter out (tombstone churn
+    // emits neither)
+    val postRow = when(!aliveA && aliveP, col("_p")).otherwise(col("_a"))
+    val postType = when(aliveA && aliveP, "update_postimage")
+      .when(aliveA, "insert")
+      .when(aliveP, "delete")
+      .otherwise(null)
+    val preType = when(aliveA && aliveP, "update_preimage").otherwise(null)
+    j.select(explode(array(
+        struct(postRow.as("_row"), postType.as("_change_type")),
+        struct(col("_p").as("_row"), preType.as("_change_type")))).as("_e"))
+      .filter(col("_e._change_type").isNotNull)
+      .select(cols.filterNot(_ == OpCol).map(c => col(s"_e._row.$c")).toSeq
+        :+ col("_e._change_type").as("_change_type") :+ ver: _*)
   }
 
   /** Latest version whose commit wall-clock is at or before `tsMillis`
