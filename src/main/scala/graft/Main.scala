@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> rebucket --table /lake/pages --buckets 4096
+  *   spark-submit --class graft.Main <jar> rollback --table /lake/pages --to-version 7
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
   *   spark-submit --class graft.Main <jar> show    --table /lake/pages
@@ -99,6 +100,12 @@ object Main {
         val snap = Maintenance.compact(spark, LakeTable.load(spark, table),
           purgeTombstones = opts.contains("purge-tombstones"))
         Seq(s"compacted $table -> v${snap.version} files=${snap.fileCount}")
+      case "rollback" =>
+        val snap = Maintenance.rollback(spark, LakeTable.load(spark, table),
+          toVersion = opts("to-version").toInt)
+        Seq(s"rolled back $table -> v${snap.version} " +
+          s"(content of v${snap.summary("rolled-back-to")}); changelog " +
+          "ranges crossing it are fenced — followers re-bootstrap")
       case "rebucket" =>
         val snap = Maintenance.rebucket(spark, LakeTable.load(spark, table),
           newBuckets = opts("buckets").toInt)
@@ -226,7 +233,7 @@ object Main {
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|changes|materialize|replicate|compact|rebucket|expire|gc|show)")
+          "(create|tail|replay|merge|changes|materialize|replicate|compact|rebucket|rollback|expire|gc|show)")
     }
   }
 

@@ -98,6 +98,39 @@ object Maintenance {
         "rebucketed-from" -> snap.numBuckets.toString))
   }
 
+  /** Roll the table back to a retained snapshot's CONTENT — a new commit
+    * whose file/manifest refs are the old snapshot's (metadata-only, like
+    * Iceberg's rollback_to_snapshot: history moves FORWARD, nothing is
+    * deleted, time travel still reads the rolled-back-over versions until
+    * expiry). Epoch gates, watermark, and the LSN high-water carry
+    * forward from the CURRENT summary — a rollback is state surgery, not
+    * a replay, so batches already applied stay gated (re-offering epoch k
+    * after a rollback is still a no-op; re-ingesting the range needs a
+    * fresh gate namespace, i.e. a new checkpoint).
+    *
+    * Changelog interaction: a rollback REVERTS rows without tombstones
+    * (a key updated after `toVersion` silently returns to its old state —
+    * an argmax replica applying that "delta" would reject the older
+    * version and silently diverge), so like a tombstone purge it FENCES
+    * `changesBetween` ranges that cross it via the same purge-version
+    * watermark: followers get the explicit re-bootstrap error (or
+    * rebootstrap automatically when opted in).
+    */
+  def rollback(spark: SparkSession, table: LakeTable, toVersion: Int): Snapshot = {
+    val cur = table.currentSnapshot
+    require(toVersion != cur.version, s"already at v$toVersion")
+    require(table.existingVersions.contains(toVersion),
+      s"rollback target v$toVersion has expired or was never committed " +
+        s"(available: v${table.existingVersions.min}..v${table.existingVersions.max})")
+    val target = table.snapshot(toVersion)
+    table.commit(target.copy(
+      version = cur.version + 1,
+      summary = LakeTable.inheritLineage(cur.summary) ++ Map(
+        "rollback" -> "true",
+        "rolled-back-to" -> toVersion.toString,
+        "purge-version" -> (cur.version + 1).toString)))
+  }
+
   /** Drop manifests older than the last `keepLast` snapshots. The epoch
     * gate stays correct: epochs are monotonic, so the retained (newest)
     * snapshots carry the maximum committed epoch.

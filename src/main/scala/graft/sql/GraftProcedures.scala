@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.compact(table => 'pages')
   *   CALL graft.system.compact(table => 'pages', purge_tombstones => true)
   *   CALL graft.system.rebucket(table => 'pages', buckets => 4096)
+  *   CALL graft.system.rollback(table => 'pages', version => 7)
   *   CALL graft.system.expire_snapshots(table => 'pages', keep_last => 10)
   *   CALL graft.system.gc(table => 'pages')          -- min_age_sec => 3600
   * }}}
@@ -38,7 +39,8 @@ private[sql] object GraftProcedures {
   def list: Array[Identifier] =
     names.map(n => Identifier.of(Namespace, n)).toArray
 
-  private val names = Seq("compact", "rebucket", "expire_snapshots", "gc")
+  private val names =
+    Seq("compact", "rebucket", "rollback", "expire_snapshots", "gc")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     def spark = SparkSession.active
@@ -63,6 +65,15 @@ private[sql] object GraftProcedures {
         input => {
           val s = Maintenance.rebucket(spark, tableOf(input), input.getInt(1))
           Seq(s.version, s.numBuckets, s.fileCount)
+        })
+      case "rollback" => new MaintenanceProcedure(
+        "rollback",
+        Array(in("table", StringType), in("version", IntegerType)),
+        new StructType().add("version", IntegerType)
+          .add("rolled_back_to", IntegerType),
+        input => {
+          val s = Maintenance.rollback(spark, tableOf(input), input.getInt(1))
+          Seq(s.version, s.summary("rolled-back-to").toInt)
         })
       case "expire_snapshots" => new MaintenanceProcedure(
         "expire_snapshots",

@@ -653,6 +653,16 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
         .collect().toSeq == content)
 
+      // rollback to the pre-rebucket version: content holds, the result
+      // row names the target, and the rebucket's layout is rolled back too
+      val rbv = t.currentVersion
+      s.sql(mergeSql(dir, src.replace("http://a", "http://z"))).collect()
+      val rk = s.sql(s"CALL graft.system.rollback(table => '$dir', " +
+        s"version => $rbv)").collect().head
+      assert(rk.getInt(1) == rbv)
+      assert(s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
+        .collect().toSeq == content)
+
       // compact with positional arg + default purge_tombstones=false,
       // then named purge: the 'D' tombstone survives the first, not the second
       val tombs = () => t.read().filter(col("_op") === "D").count()

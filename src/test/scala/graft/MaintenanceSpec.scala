@@ -157,4 +157,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.currentSnapshot.fileCount <= 4)
     assert(t.readUser().count() == oracle)
   }
+
+  test("rollback: content reverts metadata-only, gates survive, changelog fences, follower rebootstraps") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = TestSpark.tempDir("rollback")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+    def ev(lsn: Long, url: String, text: String) =
+      (lsn, "U", url, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$lsn"),
+        null: Array[Byte], text, "en", text.length.toLong)
+    def state() = t.readUser().select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(Merge.applyBatch(spark, t,
+      Seq(ev(1, "http://a", "a v1"), ev(2, "http://b", "b v1")).toDF(cols: _*), 0, 3).applied)
+    val goodVersion = t.currentVersion
+    val goodState = state()
+    val goodFiles = dataFiles(dir).toSet
+    assert(Merge.applyBatch(spark, t,
+      Seq(ev(3, "http://a", "a v2 bad"), ev(4, "http://c", "c bad")).toDF(cols: _*), 1, 3).applied)
+    assert(state() != goodState)
+
+    // set up a follower BEFORE the rollback so it holds a pre-rollback cursor
+    val repDir = TestSpark.tempDir("rollback-rep")
+    val ck = TestSpark.tempDir("rollback-ck") + "/rep.v"
+    graft.cdc.ChangeFeed.replicate(spark, dir, repDir, ck, intervalMs = 10L,
+      until = () => true)
+    val rep = LakeTable.load(spark, repDir)
+    assert(rep.readUser().count() == 3)
+
+    val snap = Maintenance.rollback(spark, t, goodVersion)
+    // metadata-only: content identical to the good version, and the good
+    // version's data files are still the live ones (nothing rewritten)
+    assert(state() == goodState)
+    assert(goodFiles.subsetOf(dataFiles(dir).toSet))
+    assert(t.currentSnapshot.files.map(_.path).toSet.subsetOf(goodFiles))
+    assert(snap.summary("rolled-back-to") == goodVersion.toString)
+    // history moved forward; the bad version still time-travels until expiry
+    assert(t.snapshot(goodVersion + 1).fileCount >= 0)
+    // epoch gate survives: re-offering the already-applied epoch 1 no-ops
+    assert(!Merge.applyBatch(spark, t,
+      Seq(ev(3, "http://a", "a v2 bad")).toDF(cols: _*), 1, 3).applied)
+    assert(state() == goodState)
+    // changelog ranges crossing the rollback refuse with the purge fence
+    val e = intercept[IllegalStateException] {
+      t.changesBetween(goodVersion + 1, t.currentVersion).count()
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+    // the follower's next poll rebootstraps (opt-in) and converges on the
+    // rolled-back state
+    graft.cdc.ChangeFeed.replicate(spark, dir, repDir, ck, intervalMs = 10L,
+      until = () => true, rebootstrap = true)
+    assert(LakeTable.load(spark, repDir).readUser().select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet == goodState)
+    // CALL surface
+    val err = intercept[Exception] { Maintenance.rollback(spark, t, 999) }
+    assert(err.getMessage.contains("expired or was never committed"))
+  }
 }
