@@ -405,7 +405,12 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       .withColumn("_commit_version", lit(to))
       .limit(0)
     if (from == to || changedBuckets.isEmpty) return emptyCdf
-    val before = readBuckets(snapshot(from), changedBuckets)
+    // align the before side to the TO schema: a schema evolution inside
+    // the range leaves `from` at an older registry version (missing
+    // columns null-backfill, narrow types widen), and preimages must
+    // carry the feed's declared columns like every other emission
+    val before = LakeTable.align(
+      readBuckets(snapshot(from), changedBuckets), after.schema)
     val cols = after.columns
     // net-new (url, _lsn) rows of `to` = every key whose state moved
     val moved = after.join(before.select(col("url"), col(LsnCol)),

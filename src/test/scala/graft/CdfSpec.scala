@@ -91,6 +91,30 @@ class CdfSpec extends AnyFunSuite {
     assert(err.getMessage.contains("purge"))
   }
 
+  test("cdf across a schema-evolution boundary aligns preimages to the to-schema") {
+    val dir = TestSpark.tempDir("cdf-evolve")
+    val t = LakeTable.create(spark, dir, schemaId = 1, numBuckets = 4)
+    // epoch 0 at registry v1 (no lang / content_len)
+    val b0 = Seq((1L, "U", "http://a", ts("2024-01-01 00:00:00"),
+      null: Array[Byte], "a v1"))
+      .toDF("lsn", "op", "url", "warc_ts", "html", "text")
+    assert(Merge.applyBatch(spark, t, b0, 0, batchSchemaVersion = 1).applied)
+    // epoch 1 at v3: update a — the table evolves (add lang/content_len,
+    // widen); the preimage is a v1 row that must null-backfill/widen to
+    // the to-schema instead of failing column resolution
+    val b1 = Seq(ev(2, "U", "http://a", ts("2024-01-02 00:00:00"), "a v2"))
+      .toDF(cols: _*)
+    assert(Merge.applyBatch(spark, t, b1, 1, batchSchemaVersion = 3).applied)
+    val rows = t.changesBetweenCdf(1, 2)
+      .select("url", "text", "lang", "content_len", "_change_type")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toSet
+    assert(rows == Set(
+      ("http://a", "a v1", None, None, "update_preimage"),
+      ("http://a", "a v2", Some("en"), Some(4L), "update_postimage")))
+  }
+
   test("cdf maintains a derived aggregate by retraction, converging with recompute") {
     val dir = TestSpark.tempDir("cdf-agg")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
