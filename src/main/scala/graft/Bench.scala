@@ -242,11 +242,14 @@ object Bench {
       s""""streaming_tail_reps":$tailReps,""" +
       s""""scaling_efficiency_pairs":[${effPairs.map(e => String.format(Locale.ROOT, "%.3f", Double.box(e))).mkString(",")}],""" +
       s""""scaling_efficiency_n_to_4n":${String.format(Locale.ROOT, "%.3f", Double.box(eff))}}"""
-    // FIRST line: compact, headline-metrics-only — small enough to survive
-    // the driver's output-capture window intact so BENCH_r{N}.json parses
-    // (r1-r3 shipped parsed:null because the single long line was
-    // truncated mid-JSON). The full line (with the per-query map) follows.
-    println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"sf":"$sfDir"}""")
+    // The compact headline-metrics-only line is printed BOTH before and
+    // after the full line (whose multi-KB per-query map is what got
+    // truncated mid-JSON in r1-r3, shipping parsed:null): the driver's
+    // capture window may keep either the head or the tail of stdout, and
+    // this way an intact compact line lands in both.
+    val compact = s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"sf":"$sfDir"}"""
+    println(compact)
     println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
+    println(compact)
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> materialize --source /lake/pages --table /agg/by-lang \
   *                                                 --checkpoint /ck/agg.v --group lang [--sum content_len] \
   *                                                 [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
-  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed \
+  *   spark-submit --class graft.Main <jar> changes --table /lake/pages --follow --out /feed [--cdf] \
   *                                                 --checkpoint /ck/feed.v [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
   *                                                 --checkpoint /ck/rep.v [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
@@ -185,21 +185,24 @@ object Main {
         // delta since the checkpointed version into a range-keyed parquet
         // dir (overwrite => re-emission after a crash is idempotent) and
         // advance the checkpoint. The first emission of a fresh
-        // checkpoint is the full-snapshot bootstrap (from = -1).
+        // checkpoint is the full-snapshot bootstrap (from = -1). --cdf
+        // exports the before-image shape into cdf_-prefixed range dirs.
         val out = opts.getOrElse("out",
           sys.error("changes --follow requires --out <dir>"))
         val ck = opts.getOrElse("checkpoint",
           sys.error("changes --follow requires --checkpoint <file>"))
+        val prefix = if (opts.contains("cdf")) "cdf_" else ""
         val emitted = graft.cdc.ChangeFeed.follow(spark, table, ck,
           onDelta = (from, to, df) => {
-            val dir = if (from == -1) s"$out/bootstrap_v$to"
-              else s"$out/delta_v${from}_v$to"
+            val dir = if (from == -1) s"$out/${prefix}bootstrap_v$to"
+              else s"$out/${prefix}delta_v${from}_v$to"
             df.write.mode("overwrite").parquet(dir)
             // count from the written files, not a second plan execution
             spark.read.parquet(dir).count()
           },
           intervalMs = intervalMs(opts), durationMs = durationMs(opts),
-          rebootstrap = opts.contains("rebootstrap"))
+          rebootstrap = opts.contains("rebootstrap"),
+          cdf = opts.contains("cdf"))
         emitted.map(emissionLine("emitted", _)) ++ report(spark, table)
       case "changes" =>
         // CDC OUT: emit the changelog a downstream replica applies to move
