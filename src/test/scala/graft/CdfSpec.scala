@@ -115,6 +115,49 @@ class CdfSpec extends AnyFunSuite {
       ("http://a", "a v2", Some("en"), Some(4L), "update_postimage")))
   }
 
+  test("property: state(from) + cdf(from,to) reconstructs state(to) for every version pair") {
+    val dir = TestSpark.tempDir("cdf-prop")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val rnd = new scala.util.Random(23)
+    val urls = (0 until 25).map(i => s"http://u$i")
+    var lsn = 0L
+    (0 until 6).foreach { e =>
+      val batch = Seq.tabulate(15) { i =>
+        lsn += 1
+        val url = urls(rnd.nextInt(urls.size))
+        if (rnd.nextInt(4) == 0)
+          ev(lsn, "D", url, ts(f"2024-01-0${e + 1} 00:00:${i % 60}%02d"), null)
+        else ev(lsn, "U", url, ts(f"2024-01-0${e + 1} 00:00:${i % 60}%02d"), s"t$lsn")
+      }.toDF(cols: _*)
+      assert(Merge.applyBatch(spark, t, batch, e.toLong, 3).applied)
+    }
+    // visible state of a version: url -> (text, lsn)
+    def visible(v: Int): Map[String, (String, Long)] =
+      t.changesBetweenCdf(-1, v).select("url", "text", "_lsn").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val states = (1 to t.currentVersion).map(v => v -> visible(v)).toMap
+    for (from <- 1 until t.currentVersion; to <- (from + 1) to t.currentVersion) {
+      var st = states(from)
+      val delta = t.changesBetweenCdf(from, to)
+        .select("url", "text", "_lsn", "_change_type").collect()
+      // apply: preimages must MATCH the current state exactly (the
+      // retraction contract), then deletes remove, posts/inserts upsert
+      delta.filter(_.getString(3) == "update_preimage").foreach { r =>
+        assert(st.get(r.getString(0)).contains((r.getString(1), r.getLong(2))),
+          s"preimage mismatch for ${r.getString(0)} in ($from,$to]")
+      }
+      delta.filter(_.getString(3) == "delete").foreach { r =>
+        assert(st.contains(r.getString(0)), s"delete of absent key in ($from,$to]")
+        st -= r.getString(0)
+      }
+      delta.filter(r => r.getString(3) == "insert"
+          || r.getString(3) == "update_postimage").foreach { r =>
+        st += r.getString(0) -> (r.getString(1), r.getLong(2))
+      }
+      assert(st == states(to), s"reconstruction diverged for ($from,$to]")
+    }
+  }
+
   test("cdf maintains a derived aggregate by retraction, converging with recompute") {
     val dir = TestSpark.tempDir("cdf-agg")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
