@@ -34,6 +34,12 @@ import java.nio.file.{Files, Paths}
   * Sum columns must be numeric; their per-group sums are maintained over
   * non-null values (a row's pre/post images carry their own values, so
   * retraction stays symmetric).
+  *
+  * Deliberately count/sum only (avg derives): MIN/MAX are not
+  * retractable — deleting the current extremum requires re-scanning the
+  * group for the runner-up, which is a per-group recompute, not a fold.
+  * An engine that needs maintained extrema keeps a per-group top-k
+  * sketch instead; recompute-on-read is this engine's honest answer.
   */
 object MaterializedAgg {
 

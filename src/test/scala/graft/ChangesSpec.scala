@@ -170,4 +170,36 @@ class ChangesSpec extends AnyFunSuite {
     assert(ChangeFeed.pollOnce(spark, dir, ck, applyDelta).isEmpty)
     assert(ChangeFeed.lastEmitted(ck) == t.currentVersion)
   }
+
+  test("replicate crash between apply and checkpoint: the re-emitted delta gates out") {
+    import graft.cdc.{ChangeFeed, Metrics}
+    val src = TestSpark.tempDir("crash-src")
+    val rep = TestSpark.tempDir("crash-rep") + "/replica"
+    val ck = TestSpark.tempDir("crash-ck") + "/rep.v"
+    val t = LakeTable.create(spark, src, schemaId = 3, numBuckets = 4)
+    assert(Merge.applyBatch(spark, t, Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1")).toDF(cols: _*), 0, 3).applied)
+    ChangeFeed.replicate(spark, src, rep, ck, intervalMs = 10L, until = () => true)
+    assert(Merge.applyBatch(spark, t, Seq(
+      ev(2, "U", "http://b", ts("2024-01-02 00:00:00"), "b v1")).toDF(cols: _*), 1, 3).applied)
+    ChangeFeed.replicate(spark, src, rep, ck, intervalMs = 10L, until = () => true)
+    val replica = LakeTable.load(spark, rep)
+    val state = replica.readUser().select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val version = replica.currentVersion
+    val lineage = Metrics.read(rep).size
+    // crash simulation: the last delta's merge COMMITTED on the replica
+    // but the feed checkpoint never advanced — rewind it one emission
+    val prev = ChangeFeed.lastEmitted(ck) - 1
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ck), prev.toString)
+    ChangeFeed.replicate(spark, src, rep, ck, intervalMs = 10L, until = () => true)
+    val after = LakeTable.load(spark, rep)
+    // the re-emitted range gated out: no new replica commit, no duplicate
+    // lineage line, identical state, checkpoint back at the head
+    assert(after.currentVersion == version)
+    assert(Metrics.read(rep).size == lineage)
+    assert(after.readUser().select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == state)
+    assert(ChangeFeed.lastEmitted(ck) == t.currentVersion)
+  }
 }
