@@ -36,7 +36,18 @@ object Maintenance {
     val df = pruned
       .withColumn("_bucket", Merge.bucketOf(col("url"), snap.numBuckets))
     val commitDir = table.newCommitDir(-1L)
+    // sort by warc_ts WITHIN each bucket: the merge hot path deliberately
+    // never sorts (each touched bucket is rewritten latest-wins, order
+    // free), so after churn a bucket file's parquet row groups all span
+    // the full ts range and a time predicate prunes nothing below the
+    // file level. Compaction is the offline pass where the sort is
+    // bought once: post-compact, row-group ts stats become disjoint and
+    // the vectorized reader skips whole groups on warc_ts ranges — the
+    // read-optimize half of the compact contract (cost class unchanged:
+    // one shuffle + per-partition sort over the table, same O(table) as
+    // the rewrite itself).
     df.repartition(math.max(1, snap.numBuckets), col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("warc_ts"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
     // a tombstone purge invalidates changelogs that CROSS it: a delete
@@ -90,6 +101,9 @@ object Maintenance {
       .withColumn("_bucket", Merge.bucketOf(col("url"), newBuckets))
     val commitDir = table.newCommitDir(-1L)
     df.repartition(math.max(1, newBuckets), col("_bucket"))
+      // same read-optimize sort as [[compact]] — a rebucket is the other
+      // whole-table offline rewrite, so it buys the row-group ts layout too
+      .sortWithinPartitions(col("_bucket"), col("warc_ts"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
     table.commitRewrite(snap, snap.schemaId, newBuckets, written,

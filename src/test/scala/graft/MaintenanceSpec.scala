@@ -158,6 +158,35 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.readUser().count() == oracle)
   }
 
+  test("compact sorts within buckets by warc_ts (read-optimize for row-group pruning)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = TestSpark.tempDir("sortmaint")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 2)
+    val rnd = new scala.util.Random(5)
+    // 3 churn epochs with SHUFFLED timestamps so pre-compact order is
+    // certainly not ts-sorted
+    (0 until 3).foreach { e =>
+      val rows = rnd.shuffle((0 until 40).toList).map { i =>
+        (e * 100L + i, "U", s"http://p$i",
+          java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+          null: Array[Byte], s"t$e-$i", "en", 1L)
+      }.toDF("lsn", "op", "url", "warc_ts", "html", "text", "lang", "content_len")
+      assert(Merge.applyBatch(spark, t, rows, e.toLong, 3).applied)
+    }
+    Maintenance.compact(spark, t)
+    // each compacted bucket file reads back ts-monotone (parquet keeps
+    // row order within a file) — the property row-group stats skip on
+    t.currentSnapshot.files.foreach { f =>
+      val ts = spark.read.parquet(f.path).select(col("warc_ts").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ts == ts.sorted, s"bucket ${f.bucket} not ts-sorted after compact")
+      assert(ts.nonEmpty)
+    }
+    // content untouched by the sort
+    assert(t.readUser().count() == 40)
+  }
+
   test("rollback: content reverts metadata-only, gates survive, changelog fences, follower rebootstraps") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
