@@ -81,12 +81,15 @@ object MaterializedAgg {
         val n = spark.read.parquet(out).count()
         // prune states older than the fold base: the base (v=from) must
         // survive until the checkpoint advances past it (crash replay
-        // re-folds onto it); anything older is unreachable
+        // re-folds onto it); anything older is unreachable. A bootstrap
+        // (from = -1) has no base — every pre-bootstrap state below the
+        // fresh `to` is stale and goes
+        val keepFloor = if (from == -1) to else from
         graft.core.Fs.list(Paths.get(stateDir)).foreach { p =>
           val name = p.getFileName.toString
           if (name.startsWith("state_v") && name.endsWith(".parquet")) {
             name.stripPrefix("state_v").stripSuffix(".parquet").toIntOption
-              .filter(v => v < from)
+              .filter(v => v < keepFloor)
               .foreach(_ => graft.core.Fs.deleteRecursively(p))
           }
         }
