@@ -257,7 +257,12 @@ object Main {
       s"buckets=${s.numBuckets} files=${s.fileCount} bytes=${s.totalBytes} " +
       s"lastEpoch=${t.lastCommittedEpoch.getOrElse(-1L)} " +
       s"lsnMax=${s.summary.getOrElse("source-lsn-max", "-")} " +
-      s"conflicts=${s.summary.getOrElse("conflict-count", "-")}") ++
+      s"lsnHighWater=${s.summary.getOrElse("lsn-high-water", "-")} " +
+      s"conflicts=${s.summary.getOrElse("conflict-count", "-")}" +
+      // feed-operator diagnostics: a fence explains why a follower got
+      // the re-bootstrap error; a rollback marker explains the fence
+      s.summary.get("purge-version").map(v => s" purgeFence=v$v").getOrElse("") +
+      s.summary.get("rolled-back-to").map(v => s" rolledBackTo=v$v").getOrElse("")) ++
       rebucketAdvice(s)
   }
 
