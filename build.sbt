@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output must reach stdout BARE: the default
+// LoggedOutput strategy prefixes every child line with "[info] ", which
+// defeats any line-starts-with-'{' parser reading the bench headline
+// (BENCH_r1-r4 all shipped parsed:null because of this prefix).
+outputStrategy := Some(StdoutOutput)
+// Delete stale JUnit XML before each test run so target/test-reports only
+// ever describes live suites from THIS run (a deleted spec's report
+// otherwise lingers and miscounts suite totals for any reader).
+val cleanTestReports = taskKey[Unit]("delete stale junit xml before tests")
+cleanTestReports := IO.delete(target.value / "test-reports")
+Test / executeTests := (Test / executeTests).dependsOn(cleanTestReports).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

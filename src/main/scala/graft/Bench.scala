@@ -122,10 +122,19 @@ object Bench {
     // discipline), interleaving whole rounds keeps one noisy window from
     // eating every rep of one query, and rounds 2+ shed the first-run
     // codegen cost that made one-shot numbers drift run to run.
+    // Calm-gate the query phase too (round-4 verdict #2): the CDC phase
+    // already waits for a calm 1-min loadavg window, but r4's query phase
+    // ran into a loadavg-17 external burst and shipped a driver artifact
+    // where untouched queries looked 1.4x slower and d6/d8 2x. Gate once
+    // before the reps AND re-gate (short budget) before each rep round,
+    // so min-over-reps has at least one calm round to pick from even when
+    // a burst lands mid-phase.
+    awaitCalm(maxWaitSec = 480)
     val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
-    (1 to queryReps).foreach { _ =>
+    (1 to queryReps).foreach { rep =>
+      if (rep > 1) awaitCalm(maxWaitSec = 240)
       names.foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true } catch {
@@ -248,8 +257,15 @@ object Bench {
     // capture window may keep either the head or the tail of stdout, and
     // this way an intact compact line lands in both.
     val compact = s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}"""
     println(compact)
-    println(s"""{"metric":"cdc events/sec (n=2 to 4n=8 scaling)","value":${String.format(Locale.ROOT, "%.0f", Double.box(epsHi))},"unit":"events/sec","total_query_sec":${String.format(Locale.ROOT, "%.2f", Double.box(total))},"cdc":$cdc,"queries":$qs,"sf":"$sfDir"}""")
+    println(full)
     println(compact)
+    // sidecar copies (belt and braces vs any stdout-wrapping harness):
+    // the full line lands in bench-headline.json next to the build
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench-headline.json"), full + "\n")
+    } catch { case _: java.io.IOException => () }
   }
 }

@@ -169,10 +169,11 @@ object Main {
         val group = opts.getOrElse("group",
           sys.error("materialize requires --group <col[,col…]>"))
           .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-        val sums = opts.get("sum").toSeq
+        def colList(key: String) = opts.get(key).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val sums = colList("sum")
         val emitted = graft.cdc.MaterializedAgg.maintain(spark, src, table,
-          ck, group, sums,
+          ck, group, sums, colList("min"), colList("max"),
           intervalMs = intervalMs(opts), durationMs = durationMs(opts),
           until = () => !opts.contains("follow"),
           rebootstrap = opts.contains("rebootstrap"))

@@ -148,14 +148,6 @@ object Merge {
     }
     val t0 = System.nanoTime()
     var tp = t0
-    // Engine write policy: standard INT64-micros timestamps, not Spark's
-    // default INT96 — INT96 writes NO parquet min/max stats, which kills
-    // both the footer-harvested warc_ts zone maps (GraftFileIndex file
-    // pruning) and the reader's own row-group pruning on time predicates.
-    // Session-level because parquet exposes no per-write option for it;
-    // readers handle both encodings transparently, so pre-existing INT96
-    // files coexist (they just carry no zone map).
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val snap = table.currentSnapshot
 
     // 1. exactly-once epoch gate — namespaced by driver (gateKey), read
@@ -360,8 +352,12 @@ object Merge {
     //     rows by bucket, so each bucket lands in few files (bounded write
     //     amplification)
     val commitDir = table.newCommitDir(epoch)
-    survivors
-      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    // timestamp encoding pinned (and the user's value restored) around
+    // the write — see [[graft.core.EngineWriteConf]]
+    graft.core.EngineWriteConf.pinned(spark) {
+      survivors
+        .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    }
     tp = dbg(epoch, "resolve+write", tp)
 
     // collect written files + row counts from parquet footers (no second

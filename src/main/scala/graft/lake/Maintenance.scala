@@ -46,9 +46,15 @@ object Maintenance {
     // read-optimize half of the compact contract (cost class unchanged:
     // one shuffle + per-partition sort over the table, same O(table) as
     // the rewrite itself).
-    df.repartition(math.max(1, snap.numBuckets), col("_bucket"))
-      .sortWithinPartitions(col("_bucket"), col("warc_ts"))
-      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    // pin TIMESTAMP_MICROS here too: a standalone compact session (CLI
+    // `compact`, CALL graft.system.compact with no prior merge) must not
+    // write INT96 — that produces stats-less files, and the warc_ts sort
+    // this rewrite exists to exploit would buy nothing (zone maps dead)
+    graft.core.EngineWriteConf.pinned(spark) {
+      df.repartition(math.max(1, snap.numBuckets), col("_bucket"))
+        .sortWithinPartitions(col("_bucket"), col("warc_ts"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    }
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
     // a tombstone purge invalidates changelogs that CROSS it: a delete
     // whose tombstone was purged emits nothing in changesBetween, so a
@@ -100,11 +106,13 @@ object Maintenance {
     val df = table.read(snap)
       .withColumn("_bucket", Merge.bucketOf(col("url"), newBuckets))
     val commitDir = table.newCommitDir(-1L)
-    df.repartition(math.max(1, newBuckets), col("_bucket"))
-      // same read-optimize sort as [[compact]] — a rebucket is the other
-      // whole-table offline rewrite, so it buys the row-group ts layout too
-      .sortWithinPartitions(col("_bucket"), col("warc_ts"))
-      .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    graft.core.EngineWriteConf.pinned(spark) {
+      df.repartition(math.max(1, newBuckets), col("_bucket"))
+        // same read-optimize sort as [[compact]] — a rebucket is the other
+        // whole-table offline rewrite, so it buys the row-group ts layout too
+        .sortWithinPartitions(col("_bucket"), col("warc_ts"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    }
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
     table.commitRewrite(snap, snap.schemaId, newBuckets, written,
       LakeTable.inheritLineage(snap.summary) ++ Map(
