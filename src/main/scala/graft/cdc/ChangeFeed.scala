@@ -162,13 +162,18 @@ object ChangeFeed {
     * a resident follower. Caller owns awaitTermination/stop.
     *
     * Contracts inherited from the source: a fresh checkpoint bootstraps
-    * with the full snapshot (into the just-created empty replica, so
-    * plain upsert == replace); a retention breach or in-range tombstone
-    * purge FAILS the query with re-bootstrap guidance — restart with a
-    * fresh checkpoint and an empty/truncated replica. Minted schemas are
-    * synced at start; a mid-stream ALTER TABLE needs a restart to pick
-    * up the new columns (the driver-loop [[replicate]] syncs per
-    * emission and stays the evolution-while-running path).
+    * with the full snapshot, and the sink applies batch 0 as TRUNCATE
+    * (`truncateOnBatchZero` — batch 0 of this composition is always the
+    * `from = -1` bootstrap), so pointing a fresh checkpoint at an
+    * EXISTING non-empty replica — the restart-after-retention-breach
+    * flow — replaces state instead of silently keeping replica-only
+    * rows. A retention breach or in-range tombstone purge FAILS the
+    * query with re-bootstrap guidance — restart with a fresh checkpoint.
+    * A mid-stream ALTER TABLE FAILS the query with restart guidance
+    * (never a silently-narrowed projection); on restart the schema
+    * re-resolves and the stream continues from its checkpoint. The
+    * driver-loop [[replicate]] syncs schemas per emission and stays the
+    * evolution-WHILE-running path.
     */
   def replicateStream(spark: SparkSession, sourceDir: String,
       replicaDir: String, checkpointDir: String,
@@ -191,6 +196,10 @@ object ChangeFeed {
       .option("path", replicaDir)
       .option("checkpointLocation", checkpointDir)
       .option("schemaVersion", source.currentSnapshot.schemaId.toString)
+      // batch 0 of THIS composition is always the changelog's from = -1
+      // full-snapshot bootstrap, so replace-state (truncate) is the only
+      // correct application — and it is idempotent under batchId replay
+      .option("truncateOnBatchZero", "true")
       .trigger(trigger)
       .start()
   }

@@ -27,6 +27,15 @@ final case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long,
 final case class ManifestRef(
     path: String, group: Int, numFiles: Int, rows: Long, bytes: Long)
 
+/** One bucket's change-scan task (see [[LakeTable.changeFileTasks]]):
+  * resolve `after` (the `to`-side files) against `before` (the
+  * `from`-side files of the SAME bucket) locally — the lake's
+  * bucket-hash layout makes the changelog's (url, _lsn) diff
+  * co-partitioned by construction.
+  */
+final case class BucketChangeTask(bucket: Int, after: Seq[DataFile],
+    before: Seq[DataFile])
+
 /** One committed table version. `summary` carries the exactly-once /
   * lineage properties (batch epoch, source LSN range, rows applied,
   * conflict count — the reference's WRITE_APPEND + staged `gsutil`+`bq
@@ -314,6 +323,35 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       .select(col("url"), col(graft.core.Schemas.LsnCol))
     after.join(before, Seq("url", graft.core.Schemas.LsnCol), "left_anti")
       .select(after.columns.map(col).toSeq: _*)
+  }
+
+  /** [[changesBetween]] as a FILE-LEVEL plan — the DSv2 streaming
+    * source's shape (the Iceberg pattern: plan change-scan tasks, not a
+    * DataFrame). One task per changed bucket carries the `to`-side files
+    * and the `from`-side files of THAT bucket only; because the lake is
+    * bucket-hash partitioned on url, the (url, _lsn) anti-join the
+    * changelog needs is bucket-LOCAL — each task resolves its own bucket
+    * with no shuffle at all (the batch [[changesBetween]] plan pays two
+    * exchanges for the same join; the task form is strictly better at
+    * scale). A bootstrap (`from = -1`) plans one task per FILE (finer
+    * splits, no before side). Same validation + purge fencing as
+    * [[changesBetween]].
+    */
+  def changeFileTasks(from: Int, to: Int): Seq[BucketChangeTask] = {
+    validateChangeRange(from, to)
+    val b = snapshot(to)
+    if (from == -1)
+      return b.files.map(f => BucketChangeTask(f.bucket, Seq(f), Nil))
+    fencePurge(from, to, b)
+    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
+    if (from == to || changedBuckets.isEmpty) return Nil
+    val afterByBucket = b.filesForBuckets(changedBuckets).groupBy(_.bucket)
+    val beforeByBucket =
+      snapshot(from).filesForBuckets(changedBuckets).groupBy(_.bucket)
+    changedBuckets.toSeq.sorted.map { k =>
+      BucketChangeTask(k, afterByBucket.getOrElse(k, Nil),
+        beforeByBucket.getOrElse(k, Nil))
+    }
   }
 
   private def validateChangeRange(from: Int, to: Int): Unit = {

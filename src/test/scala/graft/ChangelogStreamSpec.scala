@@ -210,6 +210,146 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(epochs == epochs.distinct)
   }
 
+  test("mid-stream ALTER TABLE fails the RUNNING stream with restart " +
+    "guidance; the restart picks up the evolved schema from the same checkpoint") {
+    val srcDir = TestSpark.tempDir("clog-evo-src")
+    val repDir = TestSpark.tempDir("clog-evo-rep")
+    val ckpt = TestSpark.tempDir("clog-evo-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    assert(Merge.applyBatch(spark, src,
+      Seq(ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"))
+        .toDF(cols: _*), 0, 3).applied)
+    // a resident follower is up and caught up...
+    val q = ChangeFeed.replicateStream(spark, srcDir, repDir, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      val deadline = System.nanoTime() + 30000000000L
+      while (!LakeTable.exists(repDir) ||
+          userState(LakeTable.load(spark, repDir)) != userState(src)) {
+        assert(System.nanoTime() < deadline, "follower never caught up")
+        Thread.sleep(50)
+      }
+      // ...when the SOURCE schema evolves under it: the stream must FAIL
+      // with restart guidance — silently emitting the old projection
+      // (dropping the new column from the replica) is forbidden
+      val base = src.registrySchemaFor(src.currentSnapshot.schemaId)
+      src.evolveSchema(org.apache.spark.sql.types.StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("fetch_ms",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val minted = src.currentSnapshot.schemaId
+      assert(Merge.applyBatch(spark, src,
+        Seq((2L, "U", "http://b", ts("2024-01-02 00:00:00"),
+          null: Array[Byte], "b v1", "en", 4L, 777L))
+          .toDF(cols :+ "fetch_ms": _*), 1, minted).applied)
+      val ex = intercept[StreamingQueryException] { q.awaitTermination(60000) }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(ex).exists(m => m.contains("evolved mid-stream")
+        && m.contains("Restart the query")), messages(ex).mkString(" | "))
+    } finally if (q.isActive) q.stop()
+    // restart from the SAME checkpoint: schema re-resolves, the pending
+    // delta replays under the evolved schema, the new column replicates
+    drain(srcDir, repDir, ckpt)
+    val rep = LakeTable.load(spark, repDir)
+    assert(rep.currentSnapshot.schemaId == src.currentSnapshot.schemaId)
+    assert(rep.readUser().filter($"url" === "http://b")
+      .head().getAs[Long]("fetch_ms") == 777L)
+    assert(userState(rep) == userState(src))
+  }
+
+  test("fresh checkpoint against an existing non-empty replica: the " +
+    "bootstrap applies as TRUNCATE, dropping replica-only rows") {
+    val srcDir = TestSpark.tempDir("clog-tr-src")
+    val repDir = TestSpark.tempDir("clog-tr-rep")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    assert(Merge.applyBatch(spark, src, Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1"))
+      .toDF(cols: _*), 0, 3).applied)
+    drain(srcDir, repDir, TestSpark.tempDir("clog-tr-ckpt1"))
+    // the replica diverges (stale row X survives a source-side purge the
+    // old checkpoint can no longer read across)
+    val rep = LakeTable.load(spark, repDir)
+    assert(Merge.applyBatch(spark, rep,
+      Seq(ev(99, "U", "http://stale", ts("2024-01-01 00:00:02"), "X"))
+        .toDF(cols: _*), 999, 3).applied)
+    assert(userState(rep).exists(_._1 == "http://stale"))
+    // operator re-bootstraps: FRESH checkpoint, existing replica — the
+    // from = -1 batch must replace state, not merge over it
+    drain(srcDir, repDir, TestSpark.tempDir("clog-tr-ckpt2"))
+    val after = userState(LakeTable.load(spark, repDir))
+    assert(after == userState(src), after.toString)
+    assert(!after.exists(_._1 == "http://stale"))
+  }
+
+  test("streaming cdf batches equal the batch changesBetweenCdf plan " +
+    "over the same ranges") {
+    val srcDir = TestSpark.tempDir("clog-cdfeq-src")
+    val ckpt = TestSpark.tempDir("clog-cdfeq-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    def norm(rows: Array[org.apache.spark.sql.Row]): Set[List[Any]] =
+      rows.map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }.toList).toSet
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[List[Any]]]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-changelog")
+        .option("path", srcDir).option("cdf", "true").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got += norm(df.collect()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(Merge.applyBatch(spark, src, Seq(
+      ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"),
+      ev(2, "U", "http://b", ts("2024-01-01 00:00:01"), "b v1"))
+      .toDF(cols: _*), 0, 3).applied)
+    val v1 = src.currentVersion
+    drainCdf()
+    assert(Merge.applyBatch(spark, src, Seq(
+      ev(3, "U", "http://a", ts("2024-01-02 00:00:00"), "a v2"),
+      ev(4, "D", "http://b", ts("2024-01-02 00:00:01"), null),
+      ev(5, "U", "http://c", ts("2024-01-02 00:00:02"), "c v1"))
+      .toDF(cols: _*), 1, 3).applied)
+    val v2 = src.currentVersion
+    drainCdf()
+    assert(got.size == 2)
+    assert(got(0) == norm(src.changesBetweenCdf(-1, v1).collect()))
+    assert(got(1) == norm(src.changesBetweenCdf(v1, v2).collect()))
+    // and the update really carried both legs through the stream
+    // (second-to-last col is _change_type; last is _commit_version)
+    val legTypes = got(1).map(r => r(r.size - 2))
+    assert(legTypes == Set("update_postimage", "update_preimage",
+      "delete", "insert"), legTypes.toString)
+  }
+
+  test("a torn starting-version file (crash between create and write) " +
+    "re-resolves instead of wedging every restart") {
+    val srcDir = TestSpark.tempDir("clog-torn-src")
+    val ckpt = TestSpark.tempDir("clog-torn-ckpt")
+    val sink = TestSpark.tempDir("clog-torn-out")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    assert(Merge.applyBatch(spark, src,
+      Seq(ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"))
+        .toDF(cols: _*), 0, 3).applied)
+    // simulate the torn first write: an EMPTY starting-version file
+    val metaDir = java.nio.file.Paths.get(ckpt, "sources", "0")
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.writeString(metaDir.resolve("starting-version"), "")
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", srcDir).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 1L)
+  }
+
   test("tombstone purge inside a pending range fails the stream with re-bootstrap guidance") {
     val srcDir = TestSpark.tempDir("clog-purge-src")
     val repDir = TestSpark.tempDir("clog-purge-rep")
