@@ -104,6 +104,70 @@ object SimilarityQueries {
   private[ops] val numBands = 2
   private val simhashBits = 16
 
+  // ---- Width auto-sizing (round-4 verdict #6) -----------------------
+  // The knobs above are overrides; when a caller doesn't pin them the
+  // operators price the widths from corpus cardinality at plan time —
+  // ONE count() over the input (metadata-served on parquet) against a
+  // target candidate-pair budget. At 10^9+ docs nobody hand-tunes
+  // nPlanes; the budget is the stable thing to declare.
+
+  /** Target in-bucket candidate-pair volume per LSH table. */
+  private[ops] val defaultPairBudget = 4096L
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Hyperplane count from corpus cardinality: balanced buckets put
+    * ~n²/2^P candidate pairs per table, so P = ceil(log2(n²/budget)),
+    * clamped to [4, 30] — past 2^30 buckets the bucket key stops being
+    * the binding constraint and partitioned/multi-probe ANN is the
+    * right tool. At n = 1000, budget 4096 this derives exactly the
+    * hand-picked d6 default (8); d6w's 10 pins budget ≈ 1k.
+    */
+  private[ops] def derivedPlanes(corpusRows: Long,
+      pairBudget: Long = defaultPairBudget): Int = {
+    require(corpusRows > 0 && pairBudget > 0,
+      s"need positive corpus/budget: $corpusRows/$pairBudget")
+    val p = math.ceil(
+      log2(corpusRows.toDouble * corpusRows.toDouble / pairBudget)).toInt
+    math.max(4, math.min(30, p))
+  }
+
+  /** MinHash band geometry (nHashes, nBands) from corpus cardinality:
+    * with b bands of r rows a pair at background shingle-Jaccard s0
+    * becomes a candidate with probability ≈ b·s0^r, so false-candidate
+    * volume ≈ (n²/2)·b·s0^r ≤ budget ⇒ r ≥ log(n²·b/(2·budget)) /
+    * log(1/s0). b stays 2 (the multi-band recall floor RecallSpec
+    * pins); s0 = 0.1 is the web-text unrelated-pair overlap class. r
+    * clamps to [2, mhA.size/2] — the affine-permutation family caps
+    * total hashes at mhA.size.
+    */
+  private[ops] def derivedBandGeometry(corpusRows: Long,
+      pairBudget: Long = defaultPairBudget): (Int, Int) = {
+    require(corpusRows > 0 && pairBudget > 0,
+      s"need positive corpus/budget: $corpusRows/$pairBudget")
+    val b = 2
+    val s0 = 0.1
+    val r0 = math.ceil(
+      math.log(corpusRows.toDouble * corpusRows * b / (2.0 * pairBudget)) /
+        math.log(1.0 / s0)).toInt
+    val r = math.max(2, math.min(mhA.size / b, r0))
+    (r * b, b)
+  }
+
+  /** [[minhashBandsFrom]] at widths priced from the input's row count. */
+  private[ops] def minhashBandsAuto(shingles: DataFrame,
+      pairBudget: Long = defaultPairBudget): DataFrame = {
+    val (h, b) = derivedBandGeometry(shingles.count(), pairBudget)
+    minhashBandsFrom(shingles, h, b)
+  }
+
+  /** [[lshNearDupPairs]] at a plane count priced from the input's row
+    * count.
+    */
+  private[ops] def lshNearDupPairsAuto(emb: DataFrame, nTables: Int,
+      pairBudget: Long = defaultPairBudget): DataFrame =
+    lshNearDupPairs(emb, nTables, derivedPlanes(emb.count(), pairBudget))
+
   /** Banded minhash signature → (doc_id, band) rows — the shared subplan
     * of d3 (candidate generation) and d5 (Jaccard verify). `nHashes`
     * minhashes split into `nBands` bands of nHashes/nBands rows.

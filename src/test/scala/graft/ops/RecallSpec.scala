@@ -106,6 +106,85 @@ class RecallSpec extends AnyFunSuite {
     assert(exactRecovered(8) == total && exactRecovered(10) == total)
   }
 
+  test("auto-sized widths land within the pair budget with exact-dup " +
+    "recall held (round-4 verdict #6)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // --- derivation pins: the formulas reproduce the hand-picked
+    // defaults at the sizes they were picked FOR, and saturate sanely ---
+    assert(SimilarityQueries.derivedPlanes(1000) == 8,
+      "n=1000 at the default budget must re-derive the d6 default")
+    assert(SimilarityQueries.derivedPlanes(1000000000L) == 30,
+      "plane count clamps at 30 — beyond that partitioned ANN, not wider keys")
+    assert(SimilarityQueries.derivedBandGeometry(1000000000L) == (16, 2),
+      "band rows cap at the affine-permutation family size")
+
+    // --- a THIRD band setting, derived not hand-picked: the planted
+    // sf0.01 corpus (n = 640) prices to (4 hashes, 2 bands) — looser
+    // than the (8,2)/(16,2) knob settings because the budget permits it
+    // at this cardinality ---
+    val nPlant = 40
+    val plant: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val toks = split(trim(col("text")), "\\s+")
+        val filler = concat_ws(" ",
+          transform(sequence(lit(1), greatest((size(toks) / 2).cast("int"), lit(1))),
+            i => concat_ws("", lit("zz"), col("doc_id").cast("string"),
+              lit("x"), i.cast("string"))))
+        df.select(col("doc_id"), col("text"))
+          .unionByName(df.filter(col("doc_id") < nPlant)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+          .unionByName(df.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 600000L).as("doc_id"),
+              concat_ws(" ", col("text"), filler).as("text")))
+      }
+    val sh = SimilarityQueries.docShingles(spark0, "/root/testdata/sf0.01", plant)
+      .persist()
+    try {
+      val n = sh.count()
+      val derived = SimilarityQueries.derivedBandGeometry(n)
+      assert(derived._1 != SimilarityQueries.numHashes || derived._2 != SimilarityQueries.numBands,
+        s"fixture must price a setting distinct from the default, got $derived")
+      val cand = SimilarityQueries.lshCandidatePairsFrom(
+        SimilarityQueries.minhashBandsAuto(sh))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plantedPairs = (0L until nPlant).map(i => (i, i + 500000L)).toSet
+      assert(plantedPairs.subsetOf(cand),
+        "exact-duplicate recall must be 100% at the derived width")
+      assert(cand.size <= 4 * SimilarityQueries.defaultPairBudget,
+        s"candidate volume ${cand.size} must stay within ~the pair budget")
+    } finally sh.unpersist()
+
+    // --- a THIRD plane setting: a tighter budget (512) prices 11
+    // planes on the n = 1000 perturbed plant; volume obeys the budget
+    // and exact recall holds through the full verify ---
+    val base = spark0.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val perturbed = SimilarityQueries.plantPerturbed(base).persist()
+    try {
+      val tightBudget = 512L
+      val p = SimilarityQueries.derivedPlanes(perturbed.count(), tightBudget)
+      assert(p == 11, s"1000 rows at budget 512 must price 11 planes, got $p")
+      def candVolume(nPlanes: Int): Long =
+        perturbed.select(
+            SimilarityQueries.bucketOf(col("e"), 0, nPlanes).as("bk"))
+          .groupBy("bk").count()
+          .agg(sum(expr("`count` * (`count` - 1) DIV 2"))).head().getLong(0)
+      val vDerived = candVolume(p)
+      assert(vDerived < candVolume(8),
+        "the derived tighter width must shed candidates vs the default")
+      assert(vDerived <= 4 * tightBudget,
+        s"in-bucket pair volume $vDerived must stay within ~the budget")
+    } finally perturbed.unpersist()
+    val exact = base.unionByName(
+      base.select((col("vec_id") + 2000000L).as("vec_id"), col("e")))
+    val recoveredAuto = SimilarityQueries
+      .lshNearDupPairsAuto(exact, nTables = 2, pairBudget = 512L)
+      .filter(col("id_b") === col("id_a") + 2000000L).count()
+    assert(recoveredAuto == base.count(),
+      "exact-dup recall through the auto-sized full verify must be 100%")
+  }
+
   test("multi-probe IVF recovers a Voronoi-boundary neighbor that " +
     "single-probe misses") {
     // engineered 2-D fixture: the query IS centroid 0 (unit x-axis); its
