@@ -460,6 +460,11 @@ object Merge {
         graft.core.Fs.deleteRecursively(
           Paths.get(s"$qd/gate=$gateKey/epoch=$epoch"))
       }
+      // a LOST RACE (vs an IO failure mid-publish) definitely never
+      // published — delete this attempt's phase-1 data eagerly so a
+      // retrying caller doesn't accrete one orphaned bucket set per loss
+      if (String.valueOf(e.getMessage).contains("concurrent commit lost"))
+        graft.core.Fs.deleteRecursively(Paths.get(commitDir))
       throw e
     }
     partLineage.foreach { f =>
@@ -486,6 +491,49 @@ object Merge {
       throw e
     }
   }
+
+  /** [[applyBatch]] with bounded optimistic retry on the snapshot-version
+    * commit race — a maintenance rewrite (compact / rebucket / rollback)
+    * publishing concurrently (round-4 verdict #7). A re-run is safe by
+    * construction: a lost race never records the epoch gate, the failure
+    * path unpersists the cached key plans and removes this attempt's
+    * quarantine partition and phase-1 data, and the retry re-reads the
+    * ADVANCED snapshot (re-resolving against the winner's content — the
+    * loser's winners were computed against rows a rewrite may have
+    * re-laid-out). Prepared plans feed the FIRST attempt only; they were
+    * unpersisted by the failed attempt, so retries recompute them.
+    */
+  def applyBatchRetrying(spark: SparkSession, table: LakeTable,
+      rawBatch: DataFrame, epoch: Long, batchSchemaVersion: Int,
+      batchBytesHint: Option[Long] = None,
+      preparedKeys: Option[DataFrame] = None,
+      preparedWinners: Option[DataFrame] = None,
+      quarantineDir: Option[String] = None,
+      partitionLineage: Boolean = false,
+      gateKey: String = "last-epoch",
+      truncate: Boolean = false,
+      attempts: Int = 5): MergeStats = {
+    var lost = 0
+    while (true) {
+      try return applyBatch(spark, table, rawBatch, epoch,
+        batchSchemaVersion, batchBytesHint,
+        if (lost == 0) preparedKeys else None,
+        if (lost == 0) preparedWinners else None,
+        quarantineDir, partitionLineage, gateKey, truncate)
+      catch {
+        case e: IllegalStateException
+            if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+          lost += 1
+          commitRacesLost.incrementAndGet()
+          if (lost >= attempts) throw new IllegalStateException(
+            s"merge epoch $epoch lost $lost commit races in a row; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Total merge commit races lost (and retried) in this JVM. */
+  val commitRacesLost = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Align a producer-versioned batch to the (evolved) registry schema:
     * missing columns null-backfilled, narrow types widened — BigQuery

@@ -143,7 +143,9 @@ object CdcStream {
           // Catalyst's size estimate lets the merge pick prune vs
           // full-rewrite without running a job
           val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-          val stats = Merge.applyBatch(batch.sparkSession, table, batch,
+          // retrying: an offline compact/rebucket racing the resident
+          // tail must cost the loser a re-run, not fail the stream
+          val stats = Merge.applyBatchRetrying(batch.sparkSession, table, batch,
             epoch = batchId, batchSchemaVersion = schemaVersion,
             batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
             quarantineDir = quarantineDir,
@@ -287,7 +289,7 @@ object CdcStream {
         }
         (fut, (nextPk, nextWin))
       }
-      val stats = Merge.applyBatch(spark, table, batch, epoch = i.toLong,
+      val stats = Merge.applyBatchRetrying(spark, table, batch, epoch = i.toLong,
         batchSchemaVersion = v, batchBytesHint = Some(pathBytes(path)),
         preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2),
         gateKey = StreamGateKey)

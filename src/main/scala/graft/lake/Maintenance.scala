@@ -19,12 +19,66 @@ import scala.jdk.CollectionConverters._
   */
 object Maintenance {
 
+  /** Bounded optimistic retry for maintenance commits racing a merge
+    * (round-4 verdict #7): the loser of the snapshot-version race gets
+    * `concurrent commit lost` from [[LakeTable.commit]]; a maintenance
+    * rewrite must then RE-RUN from the advanced snapshot — its written
+    * output reflects the old content and publishing it as-is would drop
+    * the winner's rows. Both sides retry: the merge path is
+    * [[graft.cdc.Merge.applyBatchRetrying]] (epoch-gate-safe re-run),
+    * the SQL statements carry their own epoch-retry loop.
+    */
+  /** Total maintenance commit races lost (and retried) in this JVM —
+    * observability for operators and the deterministic signal the race
+    * spec keys on.
+    */
+  val racesLost = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def retryOnCommitRace[A](what: String, attempts: Int = 5)(
+      once: => A): A = {
+    var lost = 0
+    while (true) {
+      try return once
+      catch {
+        case e: IllegalStateException
+            if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+          lost += 1
+          racesLost.incrementAndGet()
+          if (lost >= attempts) throw new IllegalStateException(
+            s"$what lost $lost commit races in a row; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish a rewrite, deleting the attempt's phase-1 commit dir when
+    * the publish fails: a raced rewrite retries with a FRESH dir, so
+    * leaving the loser's whole-table copy to the next gc would accrete
+    * a full table image per lost race.
+    */
+  private def commitRewriteOrCleanup(table: LakeTable, commitDir: String)(
+      publish: => Snapshot): Snapshot =
+    try publish
+    catch { case e: Throwable =>
+      if (String.valueOf(e.getMessage).contains("concurrent commit lost"))
+        graft.core.Fs.deleteRecursively(Paths.get(commitDir))
+      throw e
+    }
+
   /** Rewrite every bucket into (at most) one file per bucket. Content
     * byte-equal by construction; publishes a metadata snapshot marked
     * `compaction=true` (no batch-epoch — compaction is not a batch).
+    * Retries from the fresh snapshot when a concurrent merge wins the
+    * version race.
     */
   def compact(spark: SparkSession, table: LakeTable,
-      purgeTombstones: Boolean = false): Snapshot = {
+      purgeTombstones: Boolean = false): Snapshot =
+    retryOnCommitRace(s"compact(${table.dir})") {
+      compactOnce(spark, table, purgeTombstones)
+    }
+
+  private def compactOnce(spark: SparkSession, table: LakeTable,
+      purgeTombstones: Boolean): Snapshot = {
     val snap = table.currentSnapshot
     // Tombstone purge is only safe once no event older than the delete can
     // still arrive (late-data horizon / watermark) — the caller asserts
@@ -67,9 +121,11 @@ object Maintenance {
     // a compaction supersedes every manifest — commitRewrite publishes the
     // full new list without loading the old manifests first (commitDelta
     // with an all-buckets touched set would read them only to discard)
-    table.commitRewrite(snap, snap.schemaId, snap.numBuckets, written,
-      LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
-        "compacted-from" -> snap.fileCount.toString) ++ purgeMark)
+    commitRewriteOrCleanup(table, commitDir) {
+      table.commitRewrite(snap, snap.schemaId, snap.numBuckets, written,
+        LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
+          "compacted-from" -> snap.fileCount.toString) ++ purgeMark)
+    }
   }
 
   /** Bucket-count evolution: rewrite the table at `newBuckets` and commit
@@ -99,6 +155,12 @@ object Maintenance {
     * carry through untouched.
     */
   def rebucket(spark: SparkSession, table: LakeTable,
+      newBuckets: Int): Snapshot =
+    retryOnCommitRace(s"rebucket(${table.dir})") {
+      rebucketOnce(spark, table, newBuckets)
+    }
+
+  private def rebucketOnce(spark: SparkSession, table: LakeTable,
       newBuckets: Int): Snapshot = {
     val snap = table.currentSnapshot
     require(newBuckets >= 1, s"newBuckets must be >= 1 (got $newBuckets)")
@@ -114,10 +176,12 @@ object Maintenance {
         .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
     }
     val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
-    table.commitRewrite(snap, snap.schemaId, newBuckets, written,
-      LakeTable.inheritLineage(snap.summary) ++ Map(
-        "rebucket" -> "true",
-        "rebucketed-from" -> snap.numBuckets.toString))
+    commitRewriteOrCleanup(table, commitDir) {
+      table.commitRewrite(snap, snap.schemaId, newBuckets, written,
+        LakeTable.inheritLineage(snap.summary) ++ Map(
+          "rebucket" -> "true",
+          "rebucketed-from" -> snap.numBuckets.toString))
+    }
   }
 
   /** Roll the table back to a retained snapshot's CONTENT — a new commit
@@ -138,7 +202,17 @@ object Maintenance {
     * watermark: followers get the explicit re-bootstrap error (or
     * rebootstrap automatically when opted in).
     */
-  def rollback(spark: SparkSession, table: LakeTable, toVersion: Int): Snapshot = {
+  def rollback(spark: SparkSession, table: LakeTable, toVersion: Int): Snapshot =
+    // metadata-only, so the retry just re-reads the advanced summary and
+    // re-publishes — the rolled-back-to CONTENT is the same either way
+    // (rollback-over-concurrent-merge means the merge's rows revert, the
+    // declared semantics of rolling back)
+    retryOnCommitRace(s"rollback(${table.dir})") {
+      rollbackOnce(spark, table, toVersion)
+    }
+
+  private def rollbackOnce(spark: SparkSession, table: LakeTable,
+      toVersion: Int): Snapshot = {
     val cur = table.currentSnapshot
     require(toVersion != cur.version, s"already at v$toVersion")
     require(table.existingVersions.contains(toVersion),

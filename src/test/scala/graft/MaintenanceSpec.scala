@@ -243,4 +243,72 @@ class MaintenanceSpec extends AnyFunSuite {
     val err = intercept[Exception] { Maintenance.rollback(spark, t, 999) }
     assert(err.getMessage.contains("expired or was never committed"))
   }
+
+  test("interleaved merge and maintenance both retry the version race " +
+    "and converge to the argmax oracle (round-4 verdict #7)") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("cmrace")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    val cfg = ChangeGen.Config(nEvents = 3000, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg)
+    val nEpochs = 6
+    val perEpoch = 500
+    val racesBefore = Maintenance.racesLost.get() + Merge.commitRacesLost.get()
+    def racesSeen = Maintenance.racesLost.get() + Merge.commitRacesLost.get() - racesBefore
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val notApplied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // each round races nEpochs merges against a compact storm + a
+    // bucket-count toggle; rounds repeat (bounded) until at least one
+    // side demonstrably LOST and retried — the counters — so the
+    // convergence assert below speaks about the raced path, never a
+    // lucky serial interleaving. Re-merging the same lsn windows at
+    // fresh epochs in later rounds is argmax-idempotent by design.
+    var round = 0
+    var nextEpoch = 0L
+    while (round < 5 && (round == 0 || racesSeen == 0)) {
+      val base = nextEpoch
+      val merger = new Thread(() => try {
+        (0 until nEpochs).foreach { i =>
+          val lo = i * perEpoch
+          val st = Merge.applyBatchRetrying(spark, t,
+            ev.filter(col("lsn") >= lo && col("lsn") < lo + perEpoch),
+            base + i, 3)
+          if (!st.applied) notApplied.add(base + i)
+        }
+      } catch { case th: Throwable => errors.add(th) })
+      val maintainer = new Thread(() => try {
+        (0 until 3).foreach { _ => Maintenance.compact(spark, t) }
+        Maintenance.rebucket(spark, t,
+          if (t.currentSnapshot.numBuckets == 4) 8 else 4)
+      } catch { case th: Throwable => errors.add(th) })
+      merger.start(); maintainer.start()
+      merger.join(300000); maintainer.join(300000)
+      assert(!merger.isAlive && !maintainer.isAlive, "race round hung")
+      nextEpoch = base + nEpochs
+      round += 1
+    }
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+    assert(racesSeen > 0,
+      s"$round rounds produced zero commit races — the spec pinned nothing")
+    // no lost batch: every epoch applied (never silently swallowed) and
+    // no orphaned gate: the surviving summary's high-water is the last one
+    assert(notApplied.isEmpty, s"swallowed epochs: $notApplied")
+    assert(t.currentSnapshot.summary("last-epoch").toLong == nextEpoch - 1)
+    // converge to the brute-force argmax over everything ever offered
+    val got = t.readUser()
+      .select("url", "warc_ts", "html", "text", "lang", "content_len")
+    val want = graft.cdc.Dedup.latestPerKeyWindow(ev, "url", Seq("warc_ts", "lsn"))
+      .filter(col("op") =!= "D")
+      .select("url", "warc_ts", "html", "text", "lang", "content_len")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "raced table diverged from the argmax oracle")
+    // CoW bucket invariant survived the storm; losers left no orphans a
+    // gc can't account for (phase-1 dirs of lost races were deleted
+    // eagerly; anything left is collectable)
+    assert(t.currentSnapshot.files.groupBy(_.bucket).values.forall(_.size == 1))
+    Maintenance.gc(t, minAgeMs = 0L) // all writers joined — offline
+    assert(got.exceptAll(want).count() == 0,
+      "gc after the raced storm collected a live file")
+  }
 }
