@@ -99,13 +99,47 @@ object Bench {
     threads * iters / wall / 1e9
   }
 
+  /** Best 8-thread spin rate seen this run — a ratcheting, self-
+    * calibrated reference for "what this host delivers when healthy"
+    * (no hardcoded absolute: the first probe seeds it, every later
+    * probe can only raise it).
+    */
+  @volatile private var spinMidBest = 0.0
+
   /** One host-health sample: (gops@lo, gops@mid, lo→mid scaling vs the
     * core ratio). ~2.5 s of wall.
     */
   private def spinProbe(lo: Int, mid: Int): (Double, Double, Double) = {
     val gLo = spinGops(lo)
     val gMid = spinGops(mid)
+    spinMidBest = math.max(spinMidBest, gMid)
     (gLo, gMid, (gMid / gLo) / (mid.toDouble / lo))
+  }
+
+  /** Wait (budget-bounded) until the host is calm by loadavg AND
+    * delivering ≥85% of its best-seen `mid`-thread spin rate. The
+    * absolute-rate check is what catches a co-tenant window during a
+    * SINGLE-level phase (the per-query timings, the 32-core headline),
+    * where there is no scaling ratio to compare: a co-tenant suppresses
+    * the delivered rate while loadavg stays at zero. Returns the last
+    * loadavg reading.
+    */
+  private def awaitDelivering(mid: Int, maxWaitSec: Int): Double = {
+    def load: Double =
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: java.io.IOException => 0.0 }
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = load
+    var g = spinGops(mid); spinMidBest = math.max(spinMidBest, g)
+    while ((l > 2.0 || g < 0.85 * spinMidBest) &&
+        System.nanoTime() < deadline && budgetedSleep(15)) {
+      l = load
+      g = spinGops(mid); spinMidBest = math.max(spinMidBest, g)
+    }
+    System.err.println(f"[bench] loadavg $l%.2f, spin@$mid $g%.2f Gops " +
+      f"(best $spinMidBest%.2f) at timed-phase start")
+    l
   }
 
   /** Wait (bounded) for a window where the hypervisor itself scales
@@ -203,12 +237,16 @@ object Bench {
     // before the reps AND re-gate (short budget) before each rep round,
     // so min-over-reps has at least one calm round to pick from even when
     // a burst lands mid-phase.
-    val loadQueryStart = awaitCalm(maxWaitSec = 480)
+    // gate on DELIVERED host rate, not just loadavg: the r5 run whose
+    // query phase passed every loadavg gate and still came out ~1.4x
+    // slow sat in a co-tenant window loadavg cannot see (BASELINE.md,
+    // round-5 section)
+    val loadQueryStart = awaitDelivering(mid = 8, maxWaitSec = 480)
     val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map[String, Double]()
     (1 to queryReps).foreach { rep =>
-      if (rep > 1) awaitCalm(maxWaitSec = 240)
+      if (rep > 1) awaitDelivering(mid = 8, maxWaitSec = 240)
       names.foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true } catch {
@@ -310,8 +348,10 @@ object Bench {
     // (maxChunks controls it, not the env event budget)
     val effEventsApplied = pairs.head._1._3
     val (epsHi, epsHiSustained) =
-      if (cpus > mid) { val r = cdcRunForked(cpus, logDir, nEvents); (r._1, r._2) }
-      else (epsMid, epsMidSustained)
+      if (cpus > mid) {
+        awaitDelivering(mid = 8, maxWaitSec = 240) // headline: gate too
+        val r = cdcRunForked(cpus, logDir, nEvents); (r._1, r._2)
+      } else (epsMid, epsMidSustained)
     // the Structured Streaming tail end to end (checkpointed foreachBatch,
     // no cross-batch prefetch) — secondary honesty number at 4N. Max over
     // 2 runs: cheaper than joining the 4-rep interleave but no longer a
@@ -368,6 +408,7 @@ object Bench {
       s""""host_spin_gops_n":${String.format(Locale.ROOT, "%.2f", Double.box(spinLast._1))},""" +
       s""""host_spin_gops_4n":${String.format(Locale.ROOT, "%.2f", Double.box(spinLast._2))},""" +
       s""""host_spin_scaling_n_to_4n":${String.format(Locale.ROOT, "%.3f", Double.box(spinLast._3))},""" +
+      s""""host_spin_gops_4n_best":${String.format(Locale.ROOT, "%.2f", Double.box(spinMidBest))},""" +
       s""""scaling_efficiency_n_to_4n":${String.format(Locale.ROOT, "%.3f", Double.box(eff))}}"""
     // The compact headline-metrics-only line is printed BOTH before and
     // after the full line (whose multi-KB per-query map is what got

@@ -227,15 +227,29 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
     // the silently-narrowed old projection
     val endSid = table.snapshot(end.toInt).schemaId
     if (endSid != startSchemaId) {
-      val startNames = table.schemaFor(startSchemaId).fieldNames.toSet
-      val grown = table.schemaFor(endSid).fieldNames.filterNot(startNames)
-      if (grown.nonEmpty) throw new IllegalStateException(
-        s"graft-changelog: the source table's schema evolved mid-stream " +
-          s"(s$startSchemaId -> s$endSid adds ${grown.mkString(", ")}). " +
-          "Restart the query to pick up the evolved schema — the " +
-          "checkpoint remains valid and the pending range will replay " +
-          "under the new schema. (A fixed-schema stream silently " +
-          "dropping the new column is never an option.)")
+      val startSchema = table.schemaFor(startSchemaId)
+      val endSchema = table.schemaFor(endSid)
+      val startNames = startSchema.fieldNames.toSet
+      val grown = endSchema.fieldNames.filterNot(startNames)
+      // a WIDENED column (int->long etc.) is as fatal as an added one:
+      // files past the boundary store the wide physical type, which the
+      // stream-start read schema can neither resolve nor narrow safely
+      val retyped = startSchema.fields.collect {
+        case f if endSchema.fields.exists(e =>
+            e.name == f.name && e.dataType != f.dataType) => f.name
+      }
+      if (grown.nonEmpty || retyped.nonEmpty) {
+        val what =
+          (if (grown.nonEmpty) Seq(s"adds ${grown.mkString(", ")}") else Nil) ++
+          (if (retyped.nonEmpty) Seq(s"retypes ${retyped.mkString(", ")}") else Nil)
+        throw new IllegalStateException(
+          s"graft-changelog: the source table's schema evolved mid-stream " +
+            s"(s$startSchemaId -> s$endSid ${what.mkString("; ")}). " +
+            "Restart the query to pick up the evolved schema — the " +
+            "checkpoint remains valid and the pending range will replay " +
+            "under the new schema. (A fixed-schema stream silently " +
+            "dropping or narrowing the evolved column is never an option.)")
+      }
     }
     VersionOffset(end)
   }
@@ -557,7 +571,10 @@ private[cdc] final class GraftLakeStreamingWrite(tableDir: String,
     if (batch.columns.contains(graft.core.Schemas.OpCol))
       batch = batch.withColumnRenamed(graft.core.Schemas.OpCol, "op")
     val table = LakeTable.load(spark, tableDir)
-    val stats = Merge.applyBatch(spark, table, batch, epoch = epochId,
+    // retrying: an offline compact/rebucket/rollback racing this sink's
+    // commit must cost the loser a re-run, not fail the streaming query
+    // (safe: epoch = batchId, and a lost race never records the gate)
+    val stats = Merge.applyBatchRetrying(spark, table, batch, epoch = epochId,
       batchSchemaVersion =
         schemaVersion.getOrElse(table.currentSnapshot.schemaId),
       batchBytesHint = if (paths.isEmpty) None else Some(bytes),

@@ -258,6 +258,57 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(userState(rep) == userState(src))
   }
 
+  test("mid-stream type WIDENING fails the running stream like an added " +
+    "column: files past the boundary store the wide physical type") {
+    val srcDir = TestSpark.tempDir("clog-widen-src")
+    val repDir = TestSpark.tempDir("clog-widen-rep")
+    val ckpt = TestSpark.tempDir("clog-widen-ckpt")
+    // schema 2: content_len is INT — the registry's widening step
+    val src = LakeTable.create(spark, srcDir, schemaId = 2, numBuckets = 4)
+    assert(Merge.applyBatch(spark, src,
+      Seq((1L, "U", "http://a", ts("2024-01-01 00:00:00"),
+        null: Array[Byte], "a v1", "en", 4))
+        .toDF(cols: _*), 0, 2).applied)
+    val q = ChangeFeed.replicateStream(spark, srcDir, repDir, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      val deadline = System.nanoTime() + 30000000000L
+      while (!LakeTable.exists(repDir) ||
+          userState(LakeTable.load(spark, repDir)) != userState(src)) {
+        assert(System.nanoTime() < deadline, "follower never caught up")
+        Thread.sleep(50)
+      }
+      // widen content_len INT -> LONG under the running stream: the
+      // fixed-schema run can neither resolve nor safely narrow the wide
+      // physical type in post-boundary files — it must fail, not coerce
+      val base = src.registrySchemaFor(src.currentSnapshot.schemaId)
+      src.evolveSchema(org.apache.spark.sql.types.StructType(base.fields.map {
+        case f if f.name == "content_len" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      val minted = src.currentSnapshot.schemaId
+      assert(Merge.applyBatch(spark, src,
+        Seq((2L, "U", "http://b", ts("2024-01-02 00:00:00"),
+          null: Array[Byte], "b v1", "en", 5000000000L))
+          .toDF(cols: _*), 1, minted).applied)
+      val ex = intercept[StreamingQueryException] { q.awaitTermination(60000) }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(ex).exists(m => m.contains("evolved mid-stream")
+        && m.contains("retypes content_len")
+        && m.contains("Restart the query")), messages(ex).mkString(" | "))
+    } finally if (q.isActive) q.stop()
+    // restart from the SAME checkpoint: the widened value replicates
+    drain(srcDir, repDir, ckpt)
+    val rep = LakeTable.load(spark, repDir)
+    assert(rep.currentSnapshot.schemaId == src.currentSnapshot.schemaId)
+    assert(rep.readUser().filter($"url" === "http://b")
+      .head().getAs[Long]("content_len") == 5000000000L)
+    assert(userState(rep) == userState(src))
+  }
+
   test("fresh checkpoint against an existing non-empty replica: the " +
     "bootstrap applies as TRUNCATE, dropping replica-only rows") {
     val srcDir = TestSpark.tempDir("clog-tr-src")
