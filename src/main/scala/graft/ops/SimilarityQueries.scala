@@ -168,6 +168,31 @@ object SimilarityQueries {
       pairBudget: Long = defaultPairBudget): DataFrame =
     lshNearDupPairs(emb, nTables, derivedPlanes(emb.count(), pairBudget))
 
+  /** IVF cell count from corpus cardinality: nlist ≈ √n balances the
+    * broadcast centroid model (nlist entries) against per-probe scan
+    * volume (~n/nlist rows per cell) — both grow as √n, so neither side
+    * explodes. A FIXED centroid stride makes the model linear in n:
+    * every-50th at 10^9 vectors is 2×10^7 broadcast centroids, which no
+    * longer fits one driver row. Clamped to [4, 65536] — past 64k cells
+    * the flat centroid argmin itself needs an index (IVF-HNSW
+    * territory), a different operator, not a bigger knob.
+    */
+  private[ops] def derivedCells(corpusRows: Long): Int = {
+    require(corpusRows > 0, s"need a positive corpus: $corpusRows")
+    math.max(4, math.min(65536,
+      math.ceil(math.sqrt(corpusRows.toDouble)).toInt))
+  }
+
+  /** [[ivfTopK]] with the centroid stride priced from the input's row
+    * count (stride ≈ n / nlist ≈ √n — one metadata-served count at plan
+    * time, same shape as the LSH auto-sizing above).
+    */
+  private[ops] def ivfTopKAuto(emb: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(2L, math.ceil(n.toDouble / derivedCells(n)).toLong)
+    ivfTopK(emb, nProbe, k, stride)
+  }
+
   /** Banded minhash signature → (doc_id, band) rows — the shared subplan
     * of d3 (candidate generation) and d5 (Jaccard verify). `nHashes`
     * minhashes split into `nBands` bands of nHashes/nBands rows.
@@ -820,7 +845,8 @@ object SimilarityQueries {
     * hoist below); the query (vec_id 0) probes its `nProbe` nearest cells
     * and re-ranks exactly inside them.
     */
-  private[ops] def ivfTopK(embIn: DataFrame, nProbe: Int, k: Int): DataFrame = {
+  private[ops] def ivfTopK(embIn: DataFrame, nProbe: Int, k: Int,
+      stride: Long = 50L): DataFrame = {
     def dot(a: Column, b: Column): Column =
       graft.functions.DotProduct.dot_product(a, b)
     // Squared norm hoisted BELOW the spread exchange: higher-order
@@ -837,7 +863,7 @@ object SimilarityQueries {
     // rides along as ONE broadcast row holding an array of (cid, ce, nc)
     // with centroid norms precomputed at build. Ties break on cid inside
     // the struct ordering (deterministic).
-    val centsRow = emb.filter(col("vec_id") % 50 === 0)
+    val centsRow = emb.filter(col("vec_id") % stride === 0)
       .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("ce"),
         col("ne").as("nc"))).as("cs"))
     def distList(e: Column, ne: Column) = transform(col("cs"), c =>

@@ -185,6 +185,54 @@ class RecallSpec extends AnyFunSuite {
       "exact-dup recall through the auto-sized full verify must be 100%")
   }
 
+  test("auto-sized IVF: sqrt-n cell count, broadcast model stays " +
+    "sublinear, exhaustive probe equals brute-force cosine exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // derivation pins: sqrt(n), floor 4, ceiling 65536 (past 64k cells
+    // the flat centroid argmin needs an index, not a bigger knob)
+    assert(SimilarityQueries.derivedCells(1000) == 32)
+    assert(SimilarityQueries.derivedCells(4) == 4)
+    assert(SimilarityQueries.derivedCells(1000000000L) == 31623)
+    assert(SimilarityQueries.derivedCells(10000000000L) == 65536)
+
+    val base = spark0.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val n = base.count()
+    val cells = SimilarityQueries.derivedCells(n)
+    // the scale property the derivation buys: the centroid MODEL is
+    // O(sqrt n) — every-50th would make it n/50, linear in the corpus
+    val stride = math.max(2L, math.ceil(n.toDouble / cells).toLong)
+    val modelSize = base.filter(col("vec_id") % stride === 0).count()
+    assert(modelSize <= cells + 1 && modelSize >= cells / 2,
+      s"centroid model $modelSize must track the derived cell count $cells")
+
+    // correctness of the auto plumbing: probing EVERY cell is exhaustive
+    // search — it must equal brute-force cosine top-k exactly (same
+    // rounding, same tie order)
+    def dot(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.DotProduct.dot_product(a, b)
+    val qRow = base.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    val brute = base.crossJoin(broadcast(qRow))
+      .select(col("vec_id"),
+        round(dot(col("e"), col("qe")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exhaustive = SimilarityQueries.ivfTopKAuto(base, nProbe = cells, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exhaustive == brute,
+      s"exhaustive-probe IVF must equal brute force: $exhaustive vs $brute")
+    // and the normal multi-probe path still self-matches at rank 1
+    val top = SimilarityQueries.ivfTopKAuto(base, nProbe = 2, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.headOption.contains(0L),
+      s"the query vector must be its own nearest neighbor, got $top")
+  }
+
   test("multi-probe IVF recovers a Voronoi-boundary neighbor that " +
     "single-probe misses") {
     // engineered 2-D fixture: the query IS centroid 0 (unit x-axis); its
