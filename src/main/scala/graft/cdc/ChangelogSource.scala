@@ -10,8 +10,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl,
-  SupportsTriggerAvailableNow}
+  MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{
   DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
   WriterCommitMessage}
@@ -156,7 +156,7 @@ private[cdc] final class ChangelogTable(declared: StructType,
 private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
     options: CaseInsensitiveStringMap, metadataPath: String)
   extends MicroBatchStream with SupportsAdmissionControl
-  with SupportsTriggerAvailableNow {
+  with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val spark = SparkSession.active
   private val dir = GraftChangelog.tableDir(options)
@@ -277,6 +277,25 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
+
+  /** Replication LAG into every StreamingQueryProgress (the north
+    * star's "throughput/lag metrics"; the Kafka-source
+    * `ReportsSourceMetrics` pattern): how many source versions the
+    * consumed offset trails the table head — nonzero under a
+    * `maxVersionsPerBatch` bound or when commits outpace the trigger.
+    * One metadata read (current version), no files touched.
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumed.isPresent) versionOf(latestConsumed.get)
+      else initialFrom.toLong
+    val head = table.currentVersion.toLong
+    Map(
+      "versionsBehindLatest" -> math.max(0L, head - consumed).toString,
+      "consumedVersion" -> consumed.toString,
+      "latestVersion" -> head.toString).asJava
+  }
 
   // retention is the table's own contract (Maintenance.expireSnapshots);
   // nothing to release per-batch

@@ -97,6 +97,32 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(Metrics.read(repB).count(_.applied) == 1)
   }
 
+  test("source lag surfaces in StreamingQueryProgress metrics " +
+    "(versionsBehindLatest) and drains to zero") {
+    val srcDir = TestSpark.tempDir("clog-lag-src")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    (0 until 3).foreach { e =>
+      val b = Seq(ev(e + 1, "U", s"http://k$e",
+        ts(s"2024-01-0${e + 1} 00:00:00"), s"v$e")).toDF(cols: _*)
+      assert(Merge.applyBatch(spark, src, b, e.toLong, 3).applied)
+    }
+    // bounded to 1 version/batch over a 4-versions-ahead source: the
+    // early batches must REPORT the backlog, the final one zero
+    val q = ChangeFeed.replicateStream(spark, srcDir,
+      TestSpark.tempDir("clog-lag-rep"), TestSpark.tempDir("clog-lag-ckpt"),
+      Trigger.AvailableNow(), maxVersionsPerBatch = Some(1))
+    q.awaitTermination()
+    val lags = q.recentProgress.toSeq
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.metrics))
+      .flatMap(m => Option(m.get("versionsBehindLatest")))
+      .map(_.toLong)
+    assert(lags.nonEmpty, "no versionsBehindLatest in any progress event")
+    assert(lags.exists(_ > 0),
+      s"a bounded catch-up must report a positive backlog: $lags")
+    assert(lags.last == 0L, s"the drain must end caught up: $lags")
+  }
+
   test("startingVersion=latest resolves once, persists across restarts, skips history") {
     val srcDir = TestSpark.tempDir("clog-late-src")
     val ckpt = TestSpark.tempDir("clog-late-ckpt")
