@@ -28,6 +28,8 @@ import org.apache.spark.sql.SparkSession
   *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> rebucket --table /lake/pages --buckets 4096
+  *   spark-submit --class graft.Main <jar> maintain --table /lake/pages [--target-bucket-mb 256] \
+  *                                                 [--churn-threshold 64] [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> rollback --table /lake/pages --to-version 7
   *   spark-submit --class graft.Main <jar> expire  --table /lake/pages --keep-last 10
   *   spark-submit --class graft.Main <jar> gc      --table /lake/pages
@@ -111,6 +113,17 @@ object Main {
           newBuckets = opts("buckets").toInt)
         Seq(s"rebucketed $table -> v${snap.version} " +
           s"buckets=${snap.numBuckets} files=${snap.fileCount}")
+      case "maintain" =>
+        // engine-decided pass: rebucket on bucket-size drift, compact on
+        // read-optimize debt, else no-op (Maintenance.plan thresholds)
+        val (action, reason, v) = Maintenance.autoMaintain(spark,
+          LakeTable.load(spark, table),
+          targetBucketBytes =
+            opts.get("target-bucket-mb").map(_.toLong).getOrElse(256L) << 20,
+          churnThreshold =
+            opts.get("churn-threshold").map(_.toInt).getOrElse(64),
+          purgeTombstones = opts.contains("purge-tombstones"))
+        Seq(s"maintain $table: $action -> v$v ($reason)")
       case "expire" =>
         val n = Maintenance.expireSnapshots(LakeTable.load(spark, table),
           keepLast = opts("keep-last").toInt)
@@ -237,7 +250,7 @@ object Main {
         report(spark, table)
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(create|tail|replay|merge|changes|materialize|replicate|compact|rebucket|rollback|expire|gc|show)")
+          "(create|tail|replay|merge|changes|materialize|replicate|compact|rebucket|maintain|rollback|expire|gc|show)")
     }
   }
 

@@ -241,6 +241,77 @@ object Maintenance {
     * version, so the window costs disk, never correctness. Run gc after
     * expiry (the CLI pairs them) to reclaim the space.
     */
+  /** What one engine-decided maintenance pass would do, from manifest
+    * stats alone (zero data-file IO): `("rebucket", reason, Some(n))`,
+    * `("compact", reason, None)`, or `("none", reason, None)`.
+    *
+    * Triggers, in priority order:
+    *  1. bucket-size DRIFT — avg bucket bytes an order of magnitude off
+    *     the ~target CoW file size (the `show` advisory thresholds): the
+    *     bucket count is the table's write/prune granularity, and a
+    *     table that grew 100× past its created-at count pays multi-GB
+    *     rewrites per touched bucket on every merge. Rebucket to the
+    *     power-of-two count that restores ~target-sized buckets.
+    *  2. read-optimize DEBT — the merge hot path deliberately never
+    *     sorts (latest-wins bucket rewrites are order-free), so warc_ts
+    *     zone maps decay as churn rewrites buckets unsorted. After
+    *     `churnThreshold` commits with no compaction/rebucket (both
+    *     sort within buckets), buy the layout back.
+    * There is no small-file trigger: the merge is CoW at bucket
+    * granularity, so per-bucket file count is invariantly ≤ 1 (scaladoc
+    * above; MaintenanceSpec pins it).
+    */
+  def plan(table: LakeTable, targetBucketBytes: Long = 256L << 20,
+      churnThreshold: Int = 64): (String, String, Option[Int]) = {
+    val s = table.currentSnapshot
+    if (s.fileCount == 0)
+      return ("none", "empty table", None)
+    val avg = s.totalBytes / math.max(1, s.numBuckets)
+    if (avg > 4 * targetBucketBytes) {
+      var n = 1L
+      while (n * targetBucketBytes < avg && n < (1L << 20)) n <<= 1
+      val buckets = math.min(s.numBuckets.toLong * n, 1L << 20).toInt
+      return ("rebucket",
+        s"avg bucket ${avg >> 20} MB > 4x target ${targetBucketBytes >> 20} MB",
+        Some(buckets))
+    }
+    if (s.numBuckets > 64 && avg < targetBucketBytes / 64)
+      return ("rebucket",
+        s"avg bucket ${math.max(1, avg >> 10)} KB << target — over-bucketed",
+        Some(math.max(64, s.numBuckets / 64)))
+    // last read-optimized version: compact and rebucket both sort within
+    // buckets and stamp their summaries; walk only RETAINED versions
+    val lastOpt = table.existingVersions
+      .filter(v => v <= s.version)
+      .sorted(Ordering.Int.reverse)
+      .find { v =>
+        val sum = table.snapshot(v).summary
+        sum.contains("compaction") || sum.contains("rebucket")
+      }
+    val churn = s.version - lastOpt.getOrElse(-1)
+    if (churn >= churnThreshold)
+      return ("compact",
+        s"$churn commits since the last within-bucket warc_ts sort " +
+          s"(threshold $churnThreshold) — zone maps decayed", None)
+    ("none", s"within thresholds (avg bucket ${avg >> 10} KB, " +
+      s"churn $churn/$churnThreshold)", None)
+  }
+
+  /** Execute [[plan]]: the engine-decided maintenance pass (`CALL
+    * graft.system.auto_maintain`, CLI `maintain`). Returns
+    * (action, reason, resulting version — unchanged when "none").
+    */
+  def autoMaintain(spark: SparkSession, table: LakeTable,
+      targetBucketBytes: Long = 256L << 20, churnThreshold: Int = 64,
+      purgeTombstones: Boolean = false): (String, String, Int) =
+    plan(table, targetBucketBytes, churnThreshold) match {
+      case ("rebucket", reason, Some(n)) =>
+        (s"rebucket($n)", reason, rebucket(spark, table, n).version)
+      case ("compact", reason, _) =>
+        ("compact", reason, compact(spark, table, purgeTombstones).version)
+      case (action, reason, _) => (action, reason, table.currentVersion)
+    }
+
   def expireSnapshots(table: LakeTable, keepLast: Int): Int = {
     // keepLast <= 0 would expire the CURRENT snapshot too — the table
     // would become unreadable and the next gc would delete all data

@@ -40,7 +40,8 @@ private[sql] object GraftProcedures {
     names.map(n => Identifier.of(Namespace, n)).toArray
 
   private val names =
-    Seq("compact", "rebucket", "rollback", "expire_snapshots", "gc")
+    Seq("compact", "rebucket", "rollback", "expire_snapshots", "gc",
+      "auto_maintain")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     def spark = SparkSession.active
@@ -89,6 +90,23 @@ private[sql] object GraftProcedures {
         input => Seq(Maintenance.gc(tableOf(input),
           minAgeMs = (if (input.isNullAt(1)) 3600L
             else input.getLong(1)) * 1000L)))
+      case "auto_maintain" => new MaintenanceProcedure(
+        "auto_maintain",
+        Array(in("table", StringType),
+          in("purge_tombstones", BooleanType, Some("false")),
+          in("target_bucket_mb", LongType, Some("256")),
+          in("churn_threshold", IntegerType, Some("64"))),
+        new StructType().add("action", StringType)
+          .add("reason", StringType).add("version", IntegerType),
+        input => {
+          val (action, reason, v) = Maintenance.autoMaintain(spark,
+            tableOf(input),
+            targetBucketBytes =
+              (if (input.isNullAt(2)) 256L else input.getLong(2)) << 20,
+            churnThreshold = if (input.isNullAt(3)) 64 else input.getInt(3),
+            purgeTombstones = !input.isNullAt(1) && input.getBoolean(1))
+          Seq(action, reason, v)
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other " +
           s"(available: ${names.mkString(", ")})")

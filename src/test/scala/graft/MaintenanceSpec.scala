@@ -244,6 +244,71 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("expired or was never committed"))
   }
 
+  test("auto_maintain: engine-decided rebucket on drift, compact on churn " +
+    "debt, no-op inside thresholds — content preserved throughout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("amaint")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 2)
+    val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text", "lang",
+      "content_len")
+    def ev(lsn: Long, url: String, text: String) =
+      (lsn, "U", url, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${lsn % 60}"),
+        null: Array[Byte], text, "en", text.length.toLong)
+    (0 until 4).foreach { e =>
+      assert(Merge.applyBatch(spark, t,
+        Seq(ev(e * 10 + 1, s"http://k$e", "x" * 2000)).toDF(cols: _*),
+        e.toLong, 3).applied)
+    }
+    def state = t.readUser().select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val before = state
+
+    // 1. drift: a tiny target makes the 2 buckets read as oversized ->
+    //    the plan prices a power-of-two rebucket and executes it
+    val (a1, _, v1) = Maintenance.autoMaintain(spark, t,
+      targetBucketBytes = 256, churnThreshold = 64)
+    assert(a1.startsWith("rebucket("), s"expected a drift rebucket, got $a1")
+    assert(t.currentSnapshot.numBuckets > 2 && v1 == t.currentVersion)
+    assert(state == before)
+
+    // 2. immediately after (same thresholds): buckets are ~target-sized
+    //    and the rebucket reset the churn clock -> no-op
+    val (a2, reason2, v2) = Maintenance.autoMaintain(spark, t,
+      targetBucketBytes = 256, churnThreshold = 64)
+    assert(a2 == "none" && v2 == v1, s"$a2 / $reason2")
+
+    // 3. churn debt: two more merges at threshold 2 -> compact (sorted
+    //    rewrite), then quiet again
+    (4 until 6).foreach { e =>
+      assert(Merge.applyBatch(spark, t,
+        Seq(ev(e * 10 + 1, s"http://k$e", "y" * 500)).toDF(cols: _*),
+        e.toLong, 3).applied)
+    }
+    val (a3, _, v3) = Maintenance.autoMaintain(spark, t,
+      targetBucketBytes = 256, churnThreshold = 2)
+    assert(a3 == "compact" && v3 == t.currentVersion)
+    assert(t.currentSnapshot.summary.contains("compaction"))
+    val (a4, _, _) = Maintenance.autoMaintain(spark, t,
+      targetBucketBytes = 256, churnThreshold = 2)
+    assert(a4 == "none")
+    assert(state == before ++ (4 until 6).map(e => (s"http://k$e", "y" * 500)))
+
+    // 4. the SQL spelling: at the production 256 MB target this tiny
+    //    128-bucket table is over-bucketed -> the CALL consolidates down
+    //    to the 64-bucket floor, and a second CALL converges to none
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val sql1 = spark.sql(s"CALL graft.system.auto_maintain(table => '$dir', " +
+      "churn_threshold => 2)").collect()
+    assert(sql1.length == 1 && sql1.head.getString(0) == "rebucket(64)",
+      sql1.mkString(","))
+    assert(t.currentSnapshot.numBuckets == 64)
+    val sql2 = spark.sql(s"CALL graft.system.auto_maintain(table => '$dir', " +
+      "churn_threshold => 2)").collect()
+    assert(sql2.head.getString(0) == "none", sql2.mkString(","))
+    assert(state == before ++ (4 until 6).map(e => (s"http://k$e", "y" * 500)))
+  }
+
   test("interleaved merge and maintenance both retry the version race " +
     "and converge to the argmax oracle (round-4 verdict #7)") {
     import org.apache.spark.sql.functions.col
