@@ -125,8 +125,12 @@ object Main {
           purgeTombstones = opts.contains("purge-tombstones"))
         Seq(s"maintain $table: $action -> v$v ($reason)")
       case "expire" =>
+        // --min-age-sec keeps snapshots younger than the age even beyond
+        // the count window (time-travel / changelog-retention SLA)
         val n = Maintenance.expireSnapshots(LakeTable.load(spark, table),
-          keepLast = opts("keep-last").toInt)
+          keepLast = opts("keep-last").toInt,
+          olderThanMs = opts.get("min-age-sec").map(s =>
+            System.currentTimeMillis() - s.toLong * 1000L))
         Seq(s"expired $n snapshots")
       case "gc" =>
         // default 1h orphan age guard protects in-flight commits; pass
@@ -277,30 +281,21 @@ object Main {
       // the re-bootstrap error; a rollback marker explains the fence
       s.summary.get("purge-version").map(v => s" purgeFence=v$v").getOrElse("") +
       s.summary.get("rolled-back-to").map(v => s" rolledBackTo=v$v").getOrElse("")) ++
-      rebucketAdvice(s)
+      maintenanceAdvice(t)
   }
 
-  /** Bucket count is the table's CoW write/prune granularity; advise a
-    * rebucket when avg bucket bytes drifts an order of magnitude from the
-    * ~256 MB target file size (stats come free from manifest refs).
+  /** `show`'s advisory line is [[Maintenance.plan]] itself — the SAME
+    * decision `maintain` executes, so the advice and the action can
+    * never drift apart.
     */
-  private[graft] def rebucketAdvice(
-      s: graft.lake.Snapshot): Seq[String] = {
-    val target = 256L << 20
-    val avg = if (s.fileCount == 0) 0L else s.totalBytes / s.numBuckets
-    def pow2Ceil(x: Long): Int = {
-      var n = 1L; while (n * target < x) n <<= 1
-      math.min(n, 1L << 20).toInt
+  private[graft] def maintenanceAdvice(t: LakeTable): Seq[String] =
+    Maintenance.plan(t) match {
+      case ("none", _, _) => Nil
+      case ("rebucket", reason, Some(n)) =>
+        Seq(s"advice: $reason — run maintain (or rebucket --buckets $n)")
+      case (action, reason, _) =>
+        Seq(s"advice: $reason — run maintain (or $action)")
     }
-    if (avg > 4 * target)
-      Seq(s"advice: avg bucket ${avg >> 20} MB > target 256 MB — run " +
-        s"rebucket --buckets ${s.numBuckets.toLong * pow2Ceil(avg) max 1}")
-    else if (s.numBuckets > 64 && s.fileCount > 0 && avg < target / 64)
-      Seq(s"advice: avg bucket ${math.max(1, avg >> 10)} KB ≪ target — " +
-        s"over-bucketed; consider rebucket --buckets ${
-          math.max(64, s.numBuckets / 64)}")
-    else Nil
-  }
 
   /** `cmd --key value --flag` → (cmd, opts); bare flags map to "". */
   private[graft] def parse(args: Seq[String]): (String, Map[String, String]) = {

@@ -312,17 +312,31 @@ object Maintenance {
       case (action, reason, _) => (action, reason, table.currentVersion)
     }
 
-  def expireSnapshots(table: LakeTable, keepLast: Int): Int = {
+  /** Expire snapshot metadata beyond the retention window. `keepLast`
+    * always retains the most recent N versions; `olderThanMs`
+    * (epoch millis — the Iceberg `expire_snapshots(older_than)` shape)
+    * further RESTRICTS expiry to snapshots whose commit-ts is older, so
+    * a time-travel/changelog SLA ("7 days") survives even when commits
+    * land faster than the count-based window. A snapshot missing a
+    * commit-ts (pre-upgrade metadata) is treated as old.
+    */
+  def expireSnapshots(table: LakeTable, keepLast: Int,
+      olderThanMs: Option[Long] = None): Int = {
     // keepLast <= 0 would expire the CURRENT snapshot too — the table
     // would become unreadable and the next gc would delete all data
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val current = table.currentVersion
     val cutoff = current - keepLast + 1
+    def oldEnough(v: Int): Boolean = olderThanMs.forall { t =>
+      table.snapshot(v).summary.get("commit-ts")
+        .flatMap(_.toLongOption).forall(_ < t)
+    }
     val metaDir = Paths.get(table.dir, "meta")
     val expired = graft.core.Fs.list(metaDir).filter { p =>
       p.getFileName.toString match {
         case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toIntOption.exists(_ < cutoff)
+          s.stripPrefix("v").stripSuffix(".json").toIntOption
+            .exists(v => v < cutoff && oldEnough(v))
         case _ => false
       }
     }

@@ -78,10 +78,15 @@ private[sql] object GraftProcedures {
         })
       case "expire_snapshots" => new MaintenanceProcedure(
         "expire_snapshots",
-        Array(in("table", StringType), in("keep_last", IntegerType)),
+        Array(in("table", StringType), in("keep_last", IntegerType),
+          // only expire snapshots at least this old (time-travel SLA);
+          // NULL = count-based window only
+          in("min_age_sec", LongType, Some("NULL"))),
         new StructType().add("expired", IntegerType),
         input => Seq(Maintenance.expireSnapshots(tableOf(input),
-          keepLast = input.getInt(1))))
+          keepLast = input.getInt(1),
+          olderThanMs = if (input.isNullAt(2)) None
+            else Some(System.currentTimeMillis() - input.getLong(2) * 1000L))))
       case "gc" => new MaintenanceProcedure(
         "gc",
         Array(in("table", StringType),

@@ -309,6 +309,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(state == before ++ (4 until 6).map(e => (s"http://k$e", "y" * 500)))
   }
 
+  test("expire_snapshots min-age: young snapshots survive the count window") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("expage")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 2)
+    val cols = Seq("lsn", "op", "url", "warc_ts", "html", "text", "lang",
+      "content_len")
+    (0 until 3).foreach { e =>
+      assert(Merge.applyBatch(spark, t,
+        Seq((e * 10 + 1L, "U", s"http://k$e",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          null: Array[Byte], "t", "en", 1L)).toDF(cols: _*), e.toLong, 3)
+        .applied)
+    }
+    assert(t.existingVersions.size == 4) // v0 create + 3 merges
+    // age gate: every snapshot was committed "now", so an age bound in
+    // the past expires NOTHING even though keepLast=1 would drop three
+    assert(Maintenance.expireSnapshots(t, keepLast = 1,
+      olderThanMs = Some(0L)) == 0)
+    assert(t.existingVersions.size == 4)
+    // SQL spelling: a large min_age_sec keeps young history too
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val kept = spark.sql(s"CALL graft.system.expire_snapshots(" +
+      s"table => '$dir', keep_last => 1, min_age_sec => 999999999)")
+      .collect().head.getInt(0)
+    assert(kept == 0 && t.existingVersions.size == 4)
+    // far-future bound degenerates to the count-only window
+    assert(Maintenance.expireSnapshots(t, keepLast = 1,
+      olderThanMs = Some(Long.MaxValue)) == 3)
+    assert(t.existingVersions == Seq(3))
+  }
+
   test("interleaved merge and maintenance both retry the version race " +
     "and converge to the argmax oracle (round-4 verdict #7)") {
     import org.apache.spark.sql.functions.col
