@@ -96,9 +96,19 @@ final class GraftChangelogProvider extends TableProvider with DataSourceRegister
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new ChangelogTable(schema,
-      new CaseInsensitiveStringMap(properties))
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    // pin the evolution-guard reference at LOAD time, not query start:
+    // load() resolves the declared schema here, but the MicroBatchStream
+    // is only constructed at start() — an ALTER landing in that gap used
+    // to move the stream-start schemaId PAST the declared projection, so
+    // the guard never fired and every batch silently emitted the old
+    // columns (review r5). Captured alongside schema resolution, the
+    // guard now fails the FIRST batch after any post-load evolution.
+    val loadSchemaId = LakeTable.load(SparkSession.active,
+      GraftChangelog.tableDir(options)).currentSnapshot.schemaId
+    new ChangelogTable(schema, options, loadSchemaId)
+  }
 }
 
 private[cdc] object GraftChangelog {
@@ -132,7 +142,8 @@ private[cdc] object GraftChangelog {
 }
 
 private[cdc] final class ChangelogTable(declared: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap, loadSchemaId: Int)
+  extends Table with SupportsRead {
 
   override def name(): String =
     s"graft-changelog:${GraftChangelog.tableDir(options)}"
@@ -148,13 +159,15 @@ private[cdc] final class ChangelogTable(declared: StructType,
         override def readSchema(): StructType = declared
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangelogMicroBatchStream(declared, options, checkpointLocation)
+          new ChangelogMicroBatchStream(declared, options, checkpointLocation,
+            loadSchemaId)
       }
     }
 }
 
 private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
-    options: CaseInsensitiveStringMap, metadataPath: String)
+    options: CaseInsensitiveStringMap, metadataPath: String,
+    loadSchemaId: Int)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -179,10 +192,13 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
     else StructType(declared.fields.dropRight(2) :+
       StructField(graft.core.Schemas.OpCol, StringType, nullable = true))
 
-  /** Schema id at stream start — the mid-stream evolution guard compares
-    * against THIS, so a user-narrowed `.schema(...)` does not trip it.
+  /** Schema id captured when `load()` resolved the declared schema (see
+    * [[GraftChangelogProvider.getTable]]) — the evolution guard compares
+    * against THIS, so a user-narrowed `.schema(...)` does not trip it,
+    * while an ALTER landing anywhere after load() (including the
+    * load-to-start gap) fails the first batch.
     */
-  private val startSchemaId: Int = table.currentSnapshot.schemaId
+  private val startSchemaId: Int = loadSchemaId
 
   // Trigger.AvailableNow pins its end version at prepare time, so a drain
   // terminates even while merges keep landing on the source table.
@@ -264,16 +280,14 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
     // retention breach / purge-in-range raise here with re-bootstrap
     // guidance (same contract as the batch changesBetween)
     val tasks = t.changeFileTasks(from, to)
-    val schemaJsonById: Map[Int, String] =
-      (tasks.flatMap(x => x.after ++ x.before).map(_.schemaId).distinct
-        :+ t.snapshot(to).schemaId)
-        .distinct.map(sid => sid -> t.schemaFor(sid).json).toMap
-    tasks.map(x => ChangelogPartition(x.bucket, x.after, x.before, to,
-      schemaJsonById): InputPartition).toArray
+    tasks.map(x =>
+      ChangelogPartition(x.bucket, x.after, x.before, to): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(readBase.json, declared.json, cdf)
+    new ChangelogReaderFactory(readBase.json, declared.json, cdf,
+      ParquetRowCodec.hadoopConfDelta(spark))
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
@@ -359,20 +373,23 @@ private[cdc] object ChangelogStartingVersion {
 
 /** One changed bucket's change-scan task (see
   * [[LakeTable.changeFileTasks]]) shipped to an executor: the after/
-  * before file lists plus the registry schemas their `schemaId`s
-  * resolve to (embedded as JSON — executors do not read lake metadata).
+  * before file lists. Executors never read lake metadata — each reader
+  * resolves its target columns against the parquet file's OWN schema
+  * ([[ParquetRowCodec.GroupToRow]] null-backfills/widens per file).
   */
 private[cdc] final case class ChangelogPartition(bucket: Int,
-    after: Seq[DataFile], before: Seq[DataFile], commitVersion: Int,
-    schemaJsonById: Map[Int, String]) extends InputPartition
+    after: Seq[DataFile], before: Seq[DataFile], commitVersion: Int)
+  extends InputPartition
 
 private[cdc] final class ChangelogReaderFactory(readBaseJson: String,
-    declaredJson: String, cdf: Boolean) extends PartitionReaderFactory {
+    declaredJson: String, cdf: Boolean,
+    hadoopConfDelta: Seq[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangelogPartitionReader(
       partition.asInstanceOf[ChangelogPartition],
       DataType.fromJson(readBaseJson).asInstanceOf[StructType],
-      DataType.fromJson(declaredJson).asInstanceOf[StructType], cdf)
+      DataType.fromJson(declaredJson).asInstanceOf[StructType], cdf,
+      hadoopConfDelta)
 }
 
 /** Bucket-local changelog resolution: probe the before-side (url, _lsn)
@@ -384,34 +401,46 @@ private[cdc] final class ChangelogReaderFactory(readBaseJson: String,
   * executor (a merge rewrites whole buckets).
   */
 private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
-    readBase: StructType, declared: StructType, cdf: Boolean)
+    readBase: StructType, declared: StructType, cdf: Boolean,
+    hadoopConfDelta: Seq[(String, String)])
   extends PartitionReader[InternalRow] {
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = ParquetRowCodec.confFrom(hadoopConfDelta)
   private val urlIdx = readBase.fieldIndex("url")
   private val lsnIdx = readBase.fieldIndex(graft.core.Schemas.LsnCol)
   private val opIdx = readBase.fieldIndex(graft.core.Schemas.OpCol)
   private val D = UTF8String.fromString("D")
 
+  // the one parquet reader open right now (files are read strictly
+  // sequentially): close() must release it when Spark ends the task
+  // EARLY — a downstream limit, a foreachBatch throw, a killed
+  // speculative attempt — or the fd leaks until the executor dies on
+  // 'Too many open files' (review r5; the self-closing-on-exhaustion
+  // iterator alone only covers fully-drained partitions)
+  @volatile private var live: org.apache.parquet.hadoop.ParquetReader[
+    org.apache.parquet.example.data.Group] = null
+
   private def fileRows(f: DataFile, target: StructType): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val reader = ParquetRowCodec.openReader(
         f.path, target.fieldNames.toSet, conf)
+      live = reader
       private var g = reader.read()
       private var resolver: ParquetRowCodec.GroupToRow = null
-      if (g == null) reader.close()
+      if (g == null) { reader.close(); live = null }
       override def hasNext: Boolean = g != null
       override def next(): Array[Any] = {
         if (resolver == null)
           resolver = new ParquetRowCodec.GroupToRow(target, g.getType)
         val v = resolver.values(g)
         g = reader.read()
-        if (g == null) reader.close()
+        if (g == null) { reader.close(); live = null }
         v
       }
     }
 
-  // before side: keys always; full rows only for CDF legs
+  // before side: keys always; full rows only for CDF legs. A throw
+  // mid-drain must not leak the current file's reader.
   private val beforeKeys = new java.util.HashSet[(String, Long)]()
   private val beforeRows: java.util.HashMap[String, Array[Any]] =
     if (cdf) new java.util.HashMap[String, Array[Any]]() else null
@@ -419,11 +448,11 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
     val target = if (cdf) readBase else StructType(
       Seq(readBase("url"), readBase(graft.core.Schemas.LsnCol)))
     val (u, l) = if (cdf) (urlIdx, lsnIdx) else (0, 1)
-    p.before.iterator.flatMap(fileRows(_, target)).foreach { v =>
+    try p.before.iterator.flatMap(fileRows(_, target)).foreach { v =>
       val url = v(u).asInstanceOf[UTF8String].toString
       beforeKeys.add((url, v(l).asInstanceOf[Long]))
       if (cdf) beforeRows.put(url, v)
-    }
+    } catch { case t: Throwable => close(); throw t }
   }
 
   private def alive(v: Array[Any]): Boolean = v(opIdx) != D
@@ -470,7 +499,10 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    val r = live
+    if (r != null) { live = null; r.close() }
+  }
 }
 
 /** `format("graft-lake")` streaming SINK on the DSv2 surface
@@ -562,7 +594,8 @@ private[cdc] final class GraftLakeStreamingWrite(tableDir: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new StageWriterFactory(stagingRoot, writeSchema.json)
+    new StageWriterFactory(stagingRoot, writeSchema.json,
+      ParquetRowCodec.hadoopConfDelta(SparkSession.active))
 
   private def stageDir(epochId: Long) =
     new org.apache.hadoop.fs.Path(s"$stagingRoot/e$epochId")
@@ -612,12 +645,14 @@ private[cdc] final class GraftLakeStreamingWrite(tableDir: String,
 }
 
 private[cdc] final class StageWriterFactory(stagingRoot: String,
-    schemaJson: String) extends StreamingDataWriterFactory {
+    schemaJson: String, hadoopConfDelta: Seq[(String, String)])
+  extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new StageDataWriter(
       s"$stagingRoot/e$epochId/p$partitionId-t$taskId.parquet",
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      hadoopConfDelta)
 }
 
 /** Stages one partition's rows as one parquet file; the file path rides
@@ -625,11 +660,12 @@ private[cdc] final class StageWriterFactory(stagingRoot: String,
   * never read (the epoch stage dir is deleted wholesale after commit).
   * The writer opens lazily — an empty partition stages nothing.
   */
-private[cdc] final class StageDataWriter(path: String, schema: StructType)
+private[cdc] final class StageDataWriter(path: String, schema: StructType,
+    hadoopConfDelta: Seq[(String, String)])
   extends DataWriter[InternalRow] {
 
   private val mt = ParquetRowCodec.messageTypeFor(schema)
-  private lazy val conf = new org.apache.hadoop.conf.Configuration()
+  private lazy val conf = ParquetRowCodec.confFrom(hadoopConfDelta)
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = null
   private var rows = 0L

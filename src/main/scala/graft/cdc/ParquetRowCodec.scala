@@ -37,6 +37,28 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] object ParquetRowCodec {
 
+  /** The driver session's hadoopConfiguration entries that DIFFER from a
+    * classpath-default `new Configuration()` — i.e. what Spark injected
+    * programmatically (`spark.hadoop.*`: filesystem impls, credentials).
+    * Executors rebuild the effective conf from the default (their
+    * classpath loads the same site XMLs) plus this delta; a bare
+    * `new Configuration()` on the executor would drop the injected
+    * entries and fail scheme-qualified storage (review r5).
+    */
+  def hadoopConfDelta(spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, String)] = {
+    val base = new Configuration()
+    spark.sparkContext.hadoopConfiguration.asScala
+      .filter(e => base.get(e.getKey) != e.getValue)
+      .map(e => e.getKey -> e.getValue).toSeq
+  }
+
+  def confFrom(delta: Seq[(String, String)]): Configuration = {
+    val c = new Configuration()
+    delta.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   // ---------- read side ----------
 
   /** Column-projecting Group read support: keeps only `wanted` fields of

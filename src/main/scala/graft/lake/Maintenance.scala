@@ -263,6 +263,13 @@ object Maintenance {
     */
   def plan(table: LakeTable, targetBucketBytes: Long = 256L << 20,
       churnThreshold: Int = 64): (String, String, Option[Int]) = {
+    // a zero/negative target would drive the drift branch straight to
+    // the 2^20-bucket clamp — a pathological million-file rewrite from a
+    // nonsensical knob; reject like rebucket rejects buckets < 1
+    require(targetBucketBytes > 0,
+      s"targetBucketBytes must be > 0 (got $targetBucketBytes)")
+    require(churnThreshold >= 1,
+      s"churnThreshold must be >= 1 (got $churnThreshold)")
     val s = table.currentSnapshot
     if (s.fileCount == 0)
       return ("none", "empty table", None)

@@ -284,6 +284,41 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(userState(rep) == userState(src))
   }
 
+  test("evolution in the load-to-start gap fails the FIRST batch — the " +
+    "declared projection is pinned at load(), not at query start") {
+    val srcDir = TestSpark.tempDir("clog-gap-src")
+    val sink = TestSpark.tempDir("clog-gap-out")
+    val ckpt = TestSpark.tempDir("clog-gap-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    assert(Merge.applyBatch(spark, src,
+      Seq(ev(1, "U", "http://a", ts("2024-01-01 00:00:00"), "a v1"))
+        .toDF(cols: _*), 0, 3).applied)
+    // load() resolves the declared schema (s3)...
+    val df = spark.readStream.format("graft-changelog")
+      .option("path", srcDir).load()
+    // ...then an ALTER + merge land BEFORE start(): the old guard keyed
+    // on start-time schemaId and never fired — every batch silently
+    // emitted the s3 projection, dropping the new column forever
+    val base = src.registrySchemaFor(src.currentSnapshot.schemaId)
+    src.evolveSchema(org.apache.spark.sql.types.StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("fetch_ms",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    assert(Merge.applyBatch(spark, src,
+      Seq((2L, "U", "http://b", ts("2024-01-02 00:00:00"),
+        null: Array[Byte], "b v1", "en", 4L, 9L))
+        .toDF(cols :+ "fetch_ms": _*), 1, src.currentSnapshot.schemaId)
+      .applied)
+    val q = df.writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[StreamingQueryException] { q.awaitTermination() }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("evolved mid-stream")),
+      messages(ex).mkString(" | "))
+  }
+
   test("mid-stream type WIDENING fails the running stream like an added " +
     "column: files past the boundary store the wide physical type") {
     val srcDir = TestSpark.tempDir("clog-widen-src")
