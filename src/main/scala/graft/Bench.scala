@@ -371,10 +371,19 @@ object Bench {
     val effPairs = pairs.map { case ((l, _, _), (m, _, _)) =>
       (m / l) / (mid.toDouble / lo)
     }
-    val effBestPair = effPairs.max
-    val (eff, effBasis) =
+    // a pair ratio above 1.0 is physically impossible noise-free — it
+    // marks a pair whose 2-core leg caught a burst (the additive-noise
+    // signature BASELINE.md documents), i.e. evidence OF noise, not of
+    // scaling. Such pairs are excluded from the best-pair basis, and
+    // the headline is capped at 1.0 — reporting super-linear scaling
+    // would be claiming the noise.
+    val validPairs = effPairs.filter(_ <= 1.0)
+    val effBestPair =
+      if (validPairs.nonEmpty) validPairs.max else effLevel
+    val (effRaw, effBasis) =
       if (effBestPair > effLevel) (effBestPair, "best_pair")
       else (effLevel, "level_max")
+    val eff = math.min(1.0, effRaw)
 
     // the 24M-event log is multiple GB; left behind, repeated bench runs
     // fill the disk and a later child dies mid-run with an empty output

@@ -89,24 +89,37 @@ final class GraftChangelogProvider extends TableProvider with DataSourceRegister
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** schemaId captured by the SAME metadata load that resolved the
+    * declared schema in [[inferSchema]], keyed by table dir. The
+    * evolution guard must reference the id the declared projection came
+    * FROM: re-loading in [[getTable]] leaves a window (and r5's first
+    * fix left a narrower one between inferSchema and getTable) where an
+    * ALTER pins the guard PAST the declared schema and every batch
+    * silently emits the old columns. One load, one consistent
+    * (schema, id) pair — and no second metadata round-trip per load().
+    */
+  private val resolvedSchemaId =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val t = LakeTable.load(SparkSession.active,
-      GraftChangelog.tableDir(options))
-    GraftChangelog.declaredFor(t, GraftChangelog.isCdf(options))
+    val dir = GraftChangelog.tableDir(options)
+    val t = LakeTable.load(SparkSession.active, dir)
+    val snap = t.currentSnapshot
+    resolvedSchemaId.put(dir, snap.schemaId)
+    GraftChangelog.declaredFor(t, snap.schemaId, GraftChangelog.isCdf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    // pin the evolution-guard reference at LOAD time, not query start:
-    // load() resolves the declared schema here, but the MicroBatchStream
-    // is only constructed at start() — an ALTER landing in that gap used
-    // to move the stream-start schemaId PAST the declared projection, so
-    // the guard never fired and every batch silently emitted the old
-    // columns (review r5). Captured alongside schema resolution, the
-    // guard now fails the FIRST batch after any post-load evolution.
-    val loadSchemaId = LakeTable.load(SparkSession.active,
-      GraftChangelog.tableDir(options)).currentSnapshot.schemaId
+    val dir = GraftChangelog.tableDir(options)
+    // user-supplied external .schema(...): inferSchema never ran, so
+    // resolve the guard reference here (the declared projection is the
+    // USER'S fixed choice — a deliberate narrowing never trips the
+    // guard; evolution past this point still does)
+    val loadSchemaId = Option(resolvedSchemaId.get(dir)).map(_.toInt)
+      .getOrElse(LakeTable.load(SparkSession.active, dir)
+        .currentSnapshot.schemaId)
     new ChangelogTable(schema, options, loadSchemaId)
   }
 }
@@ -131,8 +144,8 @@ private[cdc] object GraftChangelog {
   def isCdf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("cdf", false)
 
-  def declaredFor(t: LakeTable, cdf: Boolean): StructType = {
-    val base = t.schemaFor(t.currentSnapshot.schemaId)
+  def declaredFor(t: LakeTable, schemaId: Int, cdf: Boolean): StructType = {
+    val base = t.schemaFor(schemaId)
     if (!cdf) base
     else StructType(
       base.fields.filterNot(_.name == graft.core.Schemas.OpCol)

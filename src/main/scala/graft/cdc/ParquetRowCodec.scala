@@ -37,22 +37,29 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] object ParquetRowCodec {
 
-  /** The driver session's hadoopConfiguration entries that DIFFER from a
-    * classpath-default `new Configuration()` — i.e. what Spark injected
-    * programmatically (`spark.hadoop.*`: filesystem impls, credentials).
-    * Executors rebuild the effective conf from the default (their
-    * classpath loads the same site XMLs) plus this delta; a bare
-    * `new Configuration()` on the executor would drop the injected
-    * entries and fail scheme-qualified storage (review r5).
+  /** The driver session's FULL effective hadoopConfiguration as plain
+    * pairs, for executor-side readers/writers to rebuild — a bare
+    * `new Configuration()` on the executor drops what Spark injected
+    * (`spark.hadoop.*`: FS impls, credentials) AND, in client mode,
+    * whatever only the driver's HADOOP_CONF_DIR site XMLs carry
+    * (review r5, twice: a driver-relative delta was still wrong when
+    * executor containers lack the driver's XMLs). Values are read
+    * expanded via get(). This is Spark's own SerializableConfiguration
+    * pattern re-expressed without the private[spark] class; the factory
+    * holding it serializes once per stage (task binaries are broadcast),
+    * so the ~tens-of-KB payload is per-stage, not per-task.
     */
   def hadoopConfDelta(spark: org.apache.spark.sql.SparkSession)
       : Seq[(String, String)] = {
-    val base = new Configuration()
-    spark.sparkContext.hadoopConfiguration.asScala
-      .filter(e => base.get(e.getKey) != e.getValue)
-      .map(e => e.getKey -> e.getValue).toSeq
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.asScala.flatMap(e => Option(hc.get(e.getKey)).map(e.getKey -> _))
+      .toSeq
   }
 
+  /** Executor side: the driver's effective conf, rebuilt. Entries are
+    * applied over a classpath default (quiet on executors that DO have
+    * the site XMLs — same values win).
+    */
   def confFrom(delta: Seq[(String, String)]): Configuration = {
     val c = new Configuration()
     delta.foreach { case (k, v) => c.set(k, v) }
