@@ -349,8 +349,15 @@ object Bench {
     val effEventsApplied = pairs.head._1._3
     val (epsHi, epsHiSustained) =
       if (cpus > mid) {
-        awaitDelivering(mid = 8, maxWaitSec = 240) // headline: gate too
-        val r = cdcRunForked(cpus, logDir, nEvents); (r._1, r._2)
+        // max over 2 gated reps, like the streaming tail: two
+        // health-gated runs in one night still measured 2.26 M vs
+        // 1.75 M — a single sample leaves the headline exposed to one
+        // window's residual noise for the cost of ~80 s saved
+        val rs = (1 to 2).map { _ =>
+          awaitDelivering(mid = 8, maxWaitSec = 240)
+          cdcRunForked(cpus, logDir, nEvents)
+        }
+        (rs.map(_._1).max, rs.map(_._2).max)
       } else (epsMid, epsMidSustained)
     // the Structured Streaming tail end to end (checkpointed foreachBatch,
     // no cross-batch prefetch) — secondary honesty number at 4N. Max over
