@@ -527,6 +527,7 @@ object Merge {
           commitRacesLost.incrementAndGet()
           if (lost >= attempts) throw new IllegalStateException(
             s"merge epoch $epoch lost $lost commit races in a row; giving up", e)
+          LakeTable.commitRaceBackoff(lost)
       }
     }
     throw new IllegalStateException("unreachable")

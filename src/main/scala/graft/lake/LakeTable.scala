@@ -658,6 +658,20 @@ object LakeTable {
     summary.view.filterKeys(k =>
       lineageKeys.contains(k) || k.startsWith("stream-epoch")).toMap
 
+  /** Jittered exponential backoff between commit-race retries. Two
+    * writers that lose in lockstep (merge re-run ≈ rival's rewrite
+    * cadence) otherwise re-collide attempt after attempt until one
+    * exhausts its retry budget — observed as a streaming sink giving up
+    * after 5 straight losses to a tight compaction loop. The jitter
+    * breaks the phase lock; the cap keeps a busy table's worst-case
+    * added latency at ~2 s per lost race.
+    */
+  def commitRaceBackoff(lost: Int): Unit = {
+    val cap = math.min(2000L, 50L << math.min(lost, 5))
+    Thread.sleep(cap / 2 +
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(cap / 2 + 1))
+  }
+
   /** Bucket-group width of one manifest file. 64 keeps the manifest list
     * at numBuckets/64 refs (1.5k at 10^5 buckets) and each manifest at
     * ~64 files post-compaction — both well under a driver-side millisecond

@@ -46,6 +46,7 @@ object Maintenance {
           racesLost.incrementAndGet()
           if (lost >= attempts) throw new IllegalStateException(
             s"$what lost $lost commit races in a row; giving up", e)
+          LakeTable.commitRaceBackoff(lost)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -77,9 +78,25 @@ object Maintenance {
       compactOnce(spark, table, purgeTombstones)
     }
 
+  /** A snapshot whose LAST commit was a compact/rebucket: every bucket
+    * is ≤1 file, sorted within by warc_ts — re-compacting it is a
+    * byte-identical O(table) rewrite. Same markers [[plan]] keys on.
+    */
+  private def readOptimized(s: Snapshot): Boolean =
+    s.summary.contains("compaction") || s.summary.contains("rebucket")
+
   private def compactOnce(spark: SparkSession, table: LakeTable,
       purgeTombstones: Boolean): Snapshot = {
     val snap = table.currentSnapshot
+    // Idempotence: compacting a just-compacted table is a no-op — return
+    // the current snapshot WITHOUT committing. Beyond the wasted rewrite,
+    // an unconditional commit makes a maintenance loop a liveness hazard:
+    // each vacuous compaction claims a snapshot version, and a resident
+    // writer (streaming sink, merge) can lose the version race to it
+    // attempt after attempt until its retry budget exhausts — a tight
+    // compact loop starved the replica sink out of 5 straight retries.
+    // A purge still runs (tombstones may remain to drop).
+    if (!purgeTombstones && readOptimized(snap)) return snap
     // Tombstone purge is only safe once no event older than the delete can
     // still arrive (late-data horizon / watermark) — the caller asserts
     // that by passing purgeTombstones=true. Until then tombstones must

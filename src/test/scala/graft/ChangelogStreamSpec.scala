@@ -487,4 +487,66 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("re-bootstrap")),
       s"expected re-bootstrap guidance, got: ${messages(ex).mkString(" | ")}")
   }
+
+  test("maintenance racing a RESIDENT replica: compactions on the replica " +
+    "interleave with live sink commits, both sides retry, replica converges") {
+    val srcDir = TestSpark.tempDir("clog-maintrace-src")
+    val repDir = TestSpark.tempDir("clog-maintrace-rep")
+    val ckpt = TestSpark.tempDir("clog-maintrace-ckpt")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    val seed = (1 to 40).map(i => ev(i.toLong, "U", s"http://u$i",
+      ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), s"seed-$i"))
+    assert(Merge.applyBatch(spark, src, seed.toDF(cols: _*), 0, 3).applied)
+    drain(srcDir, repDir, ckpt) // bootstrap: replica resident from here on
+
+    // an operator's maintenance loop holds the REPLICA table for the rest
+    // of the test: each compact commit can race a sink commit for the
+    // snapshot version — the retry wrapper on either side must absorb the
+    // loss (re-read the advanced snapshot, re-run), never fail the query
+    // and never drop a batch
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maint = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val t = LakeTable.load(spark, repDir)
+          val before = t.currentVersion
+          if (Maintenance.compact(spark, t).version > before)
+            compactions.incrementAndGet() // real rewrite committed
+          else Thread.sleep(10) // quiet table: compact no-ops (idempotence)
+        }
+      } catch { case t: Throwable => maintFailure.set(t) }
+    }, "replica-maintenance")
+    maint.start()
+    try {
+      var lsn = 1000L
+      (1 to 4).foreach { epoch =>
+        val batch = (1 to 12).map { j =>
+          lsn += 1
+          val key = (epoch * 7 + j * 5) % 40 + 1
+          if (j % 6 == 0)
+            ev(lsn, "D", s"http://u$key",
+              ts(f"2024-01-0${epoch + 1}%d 01:00:$j%02d"), null)
+          else
+            ev(lsn, "U", s"http://u$key",
+              ts(f"2024-01-0${epoch + 1}%d 01:00:$j%02d"), s"e$epoch-$j")
+        }
+        assert(Merge.applyBatch(spark, src, batch.toDF(cols: _*),
+          epoch.toLong, 3).applied)
+        drain(srcDir, repDir, ckpt) // sink commits while compactions land
+      }
+    } finally { stop.set(true); maint.join() }
+    assert(maintFailure.get() == null,
+      s"maintenance loop failed: ${maintFailure.get()}")
+    assert(compactions.get() > 0, "compaction never committed — no race run")
+    // content converged: live-row state of the replica equals the source,
+    // compactions rewrote files without changing rows
+    assert(userState(LakeTable.load(spark, repDir)) ==
+      userState(LakeTable.load(spark, srcDir)))
+    // lineage: every sink epoch logged exactly once despite the races
+    val epochs = Metrics.read(repDir).map(_.epoch)
+    assert(epochs == epochs.distinct)
+  }
 }
