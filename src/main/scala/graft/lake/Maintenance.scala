@@ -95,8 +95,14 @@ object Maintenance {
     // writer (streaming sink, merge) can lose the version race to it
     // attempt after attempt until its retry budget exhausts — a tight
     // compact loop starved the replica sink out of 5 straight retries.
-    // A purge still runs (tombstones may remain to drop).
-    if (!purgeTombstones && readOptimized(snap)) return snap
+    // A purge still runs (tombstones may remain to drop) — unless the
+    // LAST commit was itself a purging compaction (its purge-version
+    // stamp equals the current version): no commit has landed since, so
+    // there is no tombstone a re-purge could find.
+    val lastCommitPurged =
+      snap.summary.get("purge-version").contains(snap.version.toString)
+    if (readOptimized(snap) && (!purgeTombstones || lastCommitPurged))
+      return snap
     // Tombstone purge is only safe once no event older than the delete can
     // still arrive (late-data horizon / watermark) — the caller asserts
     // that by passing purgeTombstones=true. Until then tombstones must

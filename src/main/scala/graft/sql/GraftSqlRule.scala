@@ -357,6 +357,10 @@ private[graft] object GraftWrites {
       }
     while (gateSwallowed(attempt) && !epochPinned(session) && retries < 5) {
       retries += 1
+      // jittered backoff like the merge/maintenance loops: a rival whose
+      // rewrite cadence matches this statement's re-run otherwise keeps
+      // winning attempt after attempt (phase lock)
+      LakeTable.commitRaceBackoff(retries)
       attempt = once(table.lastCommittedEpoch.map(_ + 1L).getOrElse(0L))
     }
     // retry budget exhausted under sustained contention: the write did NOT

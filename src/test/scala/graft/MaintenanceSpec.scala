@@ -69,11 +69,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read().filter(
       org.apache.spark.sql.functions.col("_op") === "D").count()
       == tombstonesBefore)
-    // …and are dropped by a purging one (caller asserts the late horizon)
+    // idempotence: re-compacting a just-compacted table is a NO-OP — no
+    // version claimed (each vacuous commit is a race a resident writer
+    // can lose; a tight maintenance loop starved a streaming sink)
+    val vCompacted = t.currentVersion
+    assert(Maintenance.compact(spark, t).version == vCompacted)
+    assert(t.currentVersion == vCompacted)
+    // …tombstones are dropped by a purging one, which DOES run on an
+    // already-compacted table (caller asserts the late horizon)
     Maintenance.compact(spark, t, purgeTombstones = true)
     assert(t.read().filter(
       org.apache.spark.sql.functions.col("_op") === "D").count() == 0)
     assert(t.readUser().orderBy("url").collect().toSeq == before)
+    // …and a REPEATED purge right after one is a no-op too (purge-version
+    // stamp equals the current version: nothing landed since)
+    val vPurged = t.currentVersion
+    assert(Maintenance.compact(spark, t, purgeTombstones = true)
+      .version == vPurged)
+    assert(t.currentVersion == vPurged)
 
     val expired = Maintenance.expireSnapshots(t, keepLast = 1)
     assert(expired > 0)
