@@ -382,7 +382,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     * the manifests of bucket GROUPS whose refs differ (metadata-only on
     * carried-by-reference groups).
     */
-  private def changedBucketsBetween(a: Snapshot,
+  private[lake] def changedBucketsBetween(a: Snapshot,
       b: Snapshot): (Set[Int], Boolean) = {
     val aRefs = a.manifests.map(m => m.group -> m.path).toMap
     val bRefs = b.manifests.map(m => m.group -> m.path).toMap

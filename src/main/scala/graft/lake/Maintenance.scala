@@ -103,6 +103,32 @@ object Maintenance {
       snap.summary.get("purge-version").contains(snap.version.toString)
     if (readOptimized(snap) && (!purgeTombstones || lastCommitPurged))
       return snap
+    // INCREMENTAL read-optimize (non-purge): buckets untouched since the
+    // last compact/rebucket still carry that rewrite's sorted files —
+    // re-sorting them is byte-identical work. Diff the manifests against
+    // the newest retained read-optimized snapshot (metadata-only, the
+    // changelog's own changed-bucket detection) and rewrite ONLY the
+    // churned buckets, carrying the rest by manifest reference. This is
+    // the 100-TB shape: repaying zone-map debt costs O(churned buckets),
+    // not O(table) — a table where 1% of buckets churn per maintenance
+    // window compacts at 1% of the full-rewrite cost. Above half the
+    // buckets dirty, the full rewrite wins (one superseding manifest
+    // list beats per-group delta bookkeeping, and the sort is global
+    // again). A purge stays a full rewrite: tombstones to drop may sit
+    // in buckets untouched since a base that never purged.
+    if (!purgeTombstones) {
+      val base = table.existingVersions.filter(_ < snap.version)
+        .sorted(Ordering.Int.reverse).iterator.map(table.snapshot)
+        .find(readOptimized)
+      base match {
+        case Some(b) if b.numBuckets == snap.numBuckets =>
+          val (dirty, _) = table.changedBucketsBetween(b, snap)
+          if (dirty.isEmpty) return snap // metadata-only commits since
+          if (dirty.size * 2 <= snap.numBuckets)
+            return compactBucketsDelta(spark, table, snap, dirty)
+        case _ => () // no retained base (or rebucketed): full rewrite
+      }
+    }
     // Tombstone purge is only safe once no event older than the delete can
     // still arrive (late-data horizon / watermark) — the caller asserts
     // that by passing purgeTombstones=true. Until then tombstones must
@@ -148,6 +174,34 @@ object Maintenance {
       table.commitRewrite(snap, snap.schemaId, snap.numBuckets, written,
         LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
           "compacted-from" -> snap.fileCount.toString) ++ purgeMark)
+    }
+  }
+
+  /** Rewrite ONLY `dirty` buckets (warc_ts-sorted, like the full path)
+    * and commit as a DELTA: untouched bucket groups carry by manifest
+    * reference, exactly like a merge commit. Post-commit the whole table
+    * is read-optimized — untouched buckets kept the base rewrite's
+    * sorted files — so the snapshot carries the same `compaction` marker
+    * [[plan]]'s churn detection keys on (`compaction-scope` records the
+    * fraction for operators).
+    */
+  private def compactBucketsDelta(spark: SparkSession, table: LakeTable,
+      snap: Snapshot, dirty: Set[Int]): Snapshot = {
+    val df = table.readBuckets(snap, dirty)
+      .withColumn("_bucket", Merge.bucketOf(col("url"), snap.numBuckets))
+    val commitDir = table.newCommitDir(-1L)
+    graft.core.EngineWriteConf.pinned(spark) {
+      df.repartition(math.max(1, dirty.size), col("_bucket"))
+        .sortWithinPartitions(col("_bucket"), col("warc_ts"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(commitDir)
+    }
+    val written = Merge.listWrittenFiles(commitDir, snap.schemaId)
+    commitRewriteOrCleanup(table, commitDir) {
+      table.commitDelta(snap, snap.version + 1, snap.schemaId, dirty, written,
+        LakeTable.inheritLineage(snap.summary) ++ Map(
+          "compaction" -> "true",
+          "compaction-scope" -> s"${dirty.size}/${snap.numBuckets}",
+          "compacted-from" -> snap.filesForBuckets(dirty).size.toString))
     }
   }
 

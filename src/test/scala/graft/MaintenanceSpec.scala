@@ -42,6 +42,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.readUser().count() > 0)
   }
 
+  test("incremental compaction rewrites ONLY buckets churned since the last read-optimize") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("maint-inc")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 8)
+    val cfg = ChangeGen.Config(nEvents = 4000, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg)
+    (0 until 2).foreach { e =>
+      Merge.applyBatch(spark, t, ev.filter(col("lsn") >= e * 2000
+        && col("lsn") < (e + 1) * 2000), e.toLong, 3)
+    }
+    Maintenance.compact(spark, t) // the full-rewrite base
+    val base = t.currentSnapshot
+    val baseFiles = base.files.map(f => f.bucket -> f.path).toMap
+
+    // churn ONE key -> exactly one bucket's files change
+    val oneUrl = ev.select("url").head().getString(0)
+    Merge.applyBatch(spark, t, ev.filter(col("url") === oneUrl), 2L, 3)
+    val preFiles = t.currentSnapshot.files.map(f => f.bucket -> f.path).toMap
+    val dirty = (baseFiles.keySet ++ preFiles.keySet)
+      .filter(b => baseFiles.get(b) != preFiles.get(b))
+    assert(dirty.nonEmpty && dirty.size < 8)
+    val before = t.readUser().orderBy("url").collect().toSeq
+
+    val inc = Maintenance.compact(spark, t)
+    // a DELTA commit stamped as a (scoped) compaction
+    assert(inc.version == base.version + 2)
+    assert(inc.summary.get("compaction-scope").contains(s"${dirty.size}/8"))
+    val afterFiles = inc.files.map(f => f.bucket -> f.path).toMap
+    // untouched buckets carried the BASE rewrite's files by reference…
+    (baseFiles.keySet -- dirty).foreach { b =>
+      assert(afterFiles.get(b) == baseFiles.get(b),
+        s"bucket $b rewritten though untouched since the base compact")
+    }
+    // …dirty buckets were rewritten (new file), warc_ts-sorted within
+    dirty.foreach { b =>
+      assert(afterFiles.get(b) != preFiles.get(b), s"bucket $b not rewritten")
+      val tsList = spark.read.parquet(afterFiles(b))
+        .select("warc_ts").collect().map(_.getTimestamp(0).getTime).toSeq
+      assert(tsList == tsList.sorted, s"bucket $b file not warc_ts-sorted")
+    }
+    // content identical, and an immediate re-compact is a no-op
+    assert(t.readUser().orderBy("url").collect().toSeq == before)
+    assert(Maintenance.compact(spark, t).version == inc.version)
+    // churn-detection contract: the scoped compaction marker resets the
+    // read-optimize debt exactly like a full one
+    assert(Maintenance.plan(t, churnThreshold = 1)._1 == "none")
+  }
+
   test("compact + expire + gc: content identical, small files and orphans gone, gate intact") {
     val dir = TestSpark.tempDir("maint")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
