@@ -91,6 +91,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.plan(t, churnThreshold = 1)._1 == "none")
   }
 
+  test("randomized merge/compact/rollback interleaving: compaction never " +
+    "changes content and every live file is warc_ts-sorted after it") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val dir = TestSpark.tempDir("maint-rand")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 8)
+    val cfg = ChangeGen.Config(nEvents = 6000, nDomains = 15,
+      pagesPerDomain = 8, v1Frac = 0.0, v2Frac = 0.0)
+    val ev = ChangeGen.events(spark, cfg).cache()
+    def content(): Seq[org.apache.spark.sql.Row] =
+      t.readUser().orderBy("url").collect().toSeq
+    def assertAllFilesSorted(): Unit =
+      t.currentSnapshot.files.foreach { f =>
+        assert(Files.exists(Paths.get(f.path)), s"referenced file missing: ${f.path}")
+        val ts = spark.read.parquet(f.path)
+          .select("warc_ts").collect().map(_.getTimestamp(0).getTime).toSeq
+        assert(ts == ts.sorted, s"unsorted post-compact file: ${f.path}")
+      }
+    val urls = ev.select("url").distinct().collect().map(_.getString(0))
+    var epoch = 0L
+    var incrementalsTaken = 0
+    (1 to 18).foreach { _ =>
+      rnd.nextInt(100) match {
+        case k if k < 55 => // merge: half wide slices, half single-key
+          // (single-key batches dirty ≤1 of 8 buckets — the incremental
+          // compact regime; wide slices dirty most buckets — the full)
+          val batch =
+            if (rnd.nextBoolean()) {
+              val lo = rnd.nextInt(5000)
+              ev.filter(col("lsn") >= lo && col("lsn") < lo + 400 + rnd.nextInt(800))
+            } else ev.filter(col("url") === urls(rnd.nextInt(urls.length)))
+          Merge.applyBatch(spark, t, batch, epoch, 3)
+          epoch += 1
+        case k if k < 85 => // compact (full or incremental — engine decides)
+          val before = content()
+          val v0 = t.currentVersion
+          val s = Maintenance.compact(spark, t)
+          if (s.summary.contains("compaction-scope")) incrementalsTaken += 1
+          assert(content() == before, "compaction changed content")
+          if (s.version > v0) assertAllFilesSorted()
+        case k if k < 95 => // rollback to a random retained version
+          val vs = t.existingVersions.filter(_ < t.currentVersion)
+          if (vs.nonEmpty) Maintenance.rollback(spark, t, vs(rnd.nextInt(vs.size)))
+        case _ => // purging compaction (always the full path)
+          val before = t.readUser().orderBy("url").collect().toSeq
+          Maintenance.compact(spark, t, purgeTombstones = true)
+          assert(t.readUser().orderBy("url").collect().toSeq == before)
+          assert(t.read().filter(col("_op") === "D").count() == 0)
+      }
+    }
+    // the run must have exercised the incremental path, not only fulls
+    assert(incrementalsTaken > 0,
+      "randomized run never took the incremental compact path — pinned nothing")
+  }
+
   test("compact + expire + gc: content identical, small files and orphans gone, gate intact") {
     val dir = TestSpark.tempDir("maint")
     val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
