@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> replicate --source /lake/pages --table /lake/replica \
   *                                                 --checkpoint /ck/rep.v [--follow] [--interval 5] [--duration-sec 3600] [--rebootstrap]
   *   spark-submit --class graft.Main <jar> replicate --stream --source /lake/pages --table /lake/replica \
-  *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8]
+  *                                                 --checkpoint /ck/rep [--follow] [--interval 5] [--duration-sec 3600] [--max-versions-per-batch 8] [--max-rows-per-batch 4000000]
   *   spark-submit --class graft.Main <jar> compact --table /lake/pages [--purge-tombstones]
   *   spark-submit --class graft.Main <jar> rebucket --table /lake/pages --buckets 4096
   *   spark-submit --class graft.Main <jar> maintain --table /lake/pages [--target-bucket-mb 256] \
@@ -153,7 +153,8 @@ object Main {
               .ProcessingTime(intervalMs(opts))
           else org.apache.spark.sql.streaming.Trigger.AvailableNow()
         val q = graft.cdc.ChangeFeed.replicateStream(spark, src, table, ck,
-          trigger, opts.get("max-versions-per-batch").map(_.toInt))
+          trigger, opts.get("max-versions-per-batch").map(_.toInt),
+          opts.get("max-rows-per-batch").map(_.toLong))
         durationMs(opts) match {
           case Some(d) => q.awaitTermination(d); q.stop()
           case None => q.awaitTermination()

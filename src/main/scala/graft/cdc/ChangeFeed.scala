@@ -181,7 +181,8 @@ object ChangeFeed {
       replicaDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maxVersionsPerBatch: Option[Int] = None)
+      maxVersionsPerBatch: Option[Int] = None,
+      maxRowsPerBatch: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val source = LakeTable.load(spark, sourceDir)
     if (!LakeTable.exists(replicaDir)) {
@@ -194,6 +195,8 @@ object ChangeFeed {
       .option("path", sourceDir)
     maxVersionsPerBatch.foreach(m =>
       reader.option("maxVersionsPerBatch", m.toString))
+    maxRowsPerBatch.foreach(m =>
+      reader.option("maxRowsPerBatch", m.toString))
     reader.load().writeStream.format("graft-lake")
       .option("path", replicaDir)
       .option("checkpointLocation", checkpointDir)

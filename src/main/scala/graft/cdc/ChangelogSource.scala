@@ -193,6 +193,21 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
       s"graft-changelog: maxVersionsPerBatch must be >= 1, got $m")
     m
   }
+  /** Rows-budget admission (the Kafka `maxOffsetsPerTrigger` shape, but
+    * in the unit an operator actually provisions for): versions vary
+    * wildly in size — one is a 3-row fixup, the next a 10^8-row backfill
+    * — so a version-count bound alone can't cap a batch's memory/work.
+    * Priced from each commit's own `rows-applied` lineage stamp
+    * (metadata-only; versions are admitted until the budget is crossed,
+    * always at least one so the stream can't stall). Row-less commits
+    * (compaction, rollback) pass through free — they emit no change rows.
+    */
+  private val maxRowsPerBatch: Option[Long] = {
+    val m = Option(options.get("maxRowsPerBatch")).map(_.trim.toLong)
+    require(m.forall(_ >= 1),
+      s"graft-changelog: maxRowsPerBatch must be >= 1, got $m")
+    m
+  }
 
   private def table: LakeTable = LakeTable.load(spark, dir)
 
@@ -250,6 +265,23 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
     var end = table.currentVersion.toLong
     availableNowCap.foreach(cap => end = math.min(end, cap))
     maxVersionsPerBatch.foreach(m => end = math.min(end, start + m))
+    maxRowsPerBatch.foreach { budget =>
+      // admit versions until the row budget is crossed — the version that
+      // crosses it is INCLUDED (budget is a target, not a hard ceiling: a
+      // single over-budget version must still flow), and at least one is
+      // always admitted so the stream can't stall. acc starts below the
+      // (≥1) budget, so when end > start the loop admits ≥1 version.
+      if (end > start) {
+        var acc = 0L
+        var v = start + 1
+        while (v <= end && acc < budget) {
+          acc += table.snapshot(v.toInt).summary
+            .get("rows-applied").flatMap(_.toLongOption).getOrElse(0L)
+          v += 1
+        }
+        end = v - 1
+      }
+    }
     if (end <= start) return VersionOffset(start) // caught up: no batch
     // mid-stream evolution guard: a version in reach whose schema grew
     // beyond the stream-start schema must FAIL (restartable), never emit

@@ -97,6 +97,36 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(Metrics.read(repB).count(_.applied) == 1)
   }
 
+  test("maxRowsPerBatch prices catch-up in rows from the commits' own " +
+    "rows-applied stamps; an over-budget version still flows alone") {
+    val srcDir = TestSpark.tempDir("clog-rows-src")
+    val src = LakeTable.create(spark, srcDir, schemaId = 3, numBuckets = 4)
+    // three versions of 2 rows-applied each
+    (0 until 3).foreach { e =>
+      val b = Seq(
+        ev(e * 2 + 1L, "U", s"http://k${e}a", ts(s"2024-01-0${e + 1} 00:00:00"), s"a$e"),
+        ev(e * 2 + 2L, "U", s"http://k${e}b", ts(s"2024-01-0${e + 1} 00:00:01"), s"b$e"))
+        .toDF(cols: _*)
+      assert(Merge.applyBatch(spark, src, b, e.toLong, 3).applied)
+    }
+    // budget 1 < every version's 2 rows: each version crosses the budget
+    // alone and still flows (target, not ceiling) -> one commit per version
+    val repA = TestSpark.tempDir("clog-rows-repA")
+    val qA = ChangeFeed.replicateStream(spark, srcDir, repA,
+      TestSpark.tempDir("clog-rows-ckptA"), maxRowsPerBatch = Some(1L))
+    qA.awaitTermination()
+    assert(userState(LakeTable.load(spark, repA)) == userState(src))
+    assert(Metrics.read(repA).count(_.applied) == 3)
+    // budget 4: versions 1+2 (create's 0 rows + 2 + 2 = 4) fill batch one,
+    // version 3 lands in batch two
+    val repB = TestSpark.tempDir("clog-rows-repB")
+    val qB = ChangeFeed.replicateStream(spark, srcDir, repB,
+      TestSpark.tempDir("clog-rows-ckptB"), maxRowsPerBatch = Some(4L))
+    qB.awaitTermination()
+    assert(userState(LakeTable.load(spark, repB)) == userState(src))
+    assert(Metrics.read(repB).count(_.applied) == 2)
+  }
+
   test("source lag surfaces in StreamingQueryProgress metrics " +
     "(versionsBehindLatest) and drains to zero") {
     val srcDir = TestSpark.tempDir("clog-lag-src")
