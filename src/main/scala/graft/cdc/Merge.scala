@@ -60,6 +60,14 @@ object Merge {
   def bucketOf(url: Column, numBuckets: Int): Column =
     pmod(xxhash64(url), lit(numBuckets)).cast("int")
 
+  /** TEST-ONLY race injector: invoked on the driver immediately before
+    * the manifest publish (phase-1 data already written), so a spec can
+    * deterministically land a rival commit inside the race window. Specs
+    * must reset it (and guard against their own reentrancy) — production
+    * callers never set it.
+    */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
   /** Apply one change batch (raw events, possibly with duplicates) at the
     * given epoch. `batchSchemaVersion` is the registry version the batch's
     * producer declared.
@@ -410,46 +418,64 @@ object Merge {
       })
 
     // 6b. publish manifest (phase 2, atomic). Lineage keys carry forward
-    //     from the previous summary; this commit's gate namespace (and
-    //     the global last-epoch allocator) advance to the new epoch.
-    val prevLast = snap.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
-    val prevGate = snap.summary.get(gateKey).map(_.toLong).getOrElse(-1L)
+    //     from the BASE summary — a function of the base snapshot, not a
+    //     fixed map, because a lost race may REBASE this commit onto a
+    //     disjoint rival's head (commitDeltaRebasing), and the inherited
+    //     gates / watermark / lsn-high-water must then come from that
+    //     head. (`late-keys` stays priced against the watermark the keys
+    //     were resolved under — observability lineage, not a gate.)
     val maxTsMs = Option(st.getAs[java.lang.Long]("maxTsMs"))
       .map(_.toLong).getOrElse(Long.MinValue)
-    val watermarkMs = math.max(prevWatermarkMs.getOrElse(Long.MinValue), maxTsMs)
-    val summary = LakeTable.inheritLineage(snap.summary) ++ Map(
-      "batch-epoch" -> epoch.toString,
-      "last-epoch" -> math.max(prevLast, epoch).toString,
-      gateKey -> math.max(prevGate, epoch).toString,
-      "watermark-ms" -> watermarkMs.toString,
-      "late-keys" -> st.getAs[Long]("lateKeys").toString,
-      "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,
-      "source-lsn-max" -> st.getAs[Long]("lsnMax").toString,
-      // monotone max LSN ever applied, surviving every commit (incl.
-      // truncate/compaction via lineageKeys): the SQL write paths band
-      // their synthetic LSNs ABOVE it so a row-level DELETE/UPDATE
-      // tombstone always wins its (warc_ts, lsn) tie even against
-      // producers with large raw LSNs (byte offsets, ns timestamps)
-      "lsn-high-water" -> math.max(
-        snap.summary.get("lsn-high-water").map(_.toLong)
-          .getOrElse(Long.MinValue),
-        st.getAs[Long]("lsnMax")).toString,
-      "events-in" -> eventsIn.toString,
-      "rows-applied" -> rowsApplied.toString,
-      "conflict-count" -> conflicts.toString,
-      "quarantine-count" -> quarantined.toString,
-      "touched-buckets" -> touched.size.toString) ++
-      // a truncate drops keys WITHOUT tombstones, so like a tombstone
-      // purge it fences changesBetween ranges that cross it — a replica
-      // must re-bootstrap, not merge a delta over a replaced table
-      (if (truncate)
-        Map("truncate" -> "true",
-          "purge-version" -> (snap.version + 1).toString)
-      else Map.empty)
+    def summaryFor(base: Snapshot): Map[String, String] = {
+      val prevLast = base.summary.get("last-epoch").map(_.toLong).getOrElse(-1L)
+      val prevGate = base.summary.get(gateKey).map(_.toLong).getOrElse(-1L)
+      val baseWatermarkMs = base.summary.get("watermark-ms").map(_.toLong)
+      LakeTable.inheritLineage(base.summary) ++ Map(
+        "batch-epoch" -> epoch.toString,
+        "last-epoch" -> math.max(prevLast, epoch).toString,
+        gateKey -> math.max(prevGate, epoch).toString,
+        "watermark-ms" -> math.max(
+          baseWatermarkMs.getOrElse(Long.MinValue), maxTsMs).toString,
+        "late-keys" -> st.getAs[Long]("lateKeys").toString,
+        "source-lsn-min" -> st.getAs[Long]("lsnMin").toString,
+        "source-lsn-max" -> st.getAs[Long]("lsnMax").toString,
+        // monotone max LSN ever applied, surviving every commit (incl.
+        // truncate/compaction via lineageKeys): the SQL write paths band
+        // their synthetic LSNs ABOVE it so a row-level DELETE/UPDATE
+        // tombstone always wins its (warc_ts, lsn) tie even against
+        // producers with large raw LSNs (byte offsets, ns timestamps)
+        "lsn-high-water" -> math.max(
+          base.summary.get("lsn-high-water").map(_.toLong)
+            .getOrElse(Long.MinValue),
+          st.getAs[Long]("lsnMax")).toString,
+        "events-in" -> eventsIn.toString,
+        "rows-applied" -> rowsApplied.toString,
+        "conflict-count" -> conflicts.toString,
+        "quarantine-count" -> quarantined.toString,
+        "touched-buckets" -> touched.size.toString) ++
+        // a truncate drops keys WITHOUT tombstones, so like a tombstone
+        // purge it fences changesBetween ranges that cross it — a replica
+        // must re-bootstrap, not merge a delta over a replaced table
+        (if (truncate)
+          Map("truncate" -> "true",
+            "purge-version" -> (base.version + 1).toString)
+        else Map.empty)
+    }
+    beforeCommitHook()
     // untouched bucket groups carry forward by manifest REFERENCE — commit
-    // metadata IO is O(touched), not O(live files) (manifest-list split)
-    try table.commitDelta(snap, snap.version + 1, newSchemaId, touched,
-      written, summary)
+    // metadata IO is O(touched), not O(live files) (manifest-list split).
+    // A lost race against a rival that provably left `touched` untouched
+    // (maintenance on cold buckets, a disjoint-key writer, a metadata
+    // commit) REBASES: the phase-1 files are still the correct post-image
+    // of those buckets, so publish them on the head instead of re-running
+    // the batch. The gate veto keeps exactly-once exact: if a rival
+    // advanced this namespace to >= epoch, a duplicate of this batch
+    // already published — fall through to the full retry, whose gate
+    // check skips it.
+    try table.commitDeltaRebasing(snap, newSchemaId, touched, written,
+      summaryFor,
+      eligible = head =>
+        head.summary.get(gateKey).forall(_.toLong < epoch))
     catch { case e: Throwable =>
       // losing the commit race AFTER the dead-letter write: remove this
       // attempt's quarantine partition so a caller's retry at a fresh

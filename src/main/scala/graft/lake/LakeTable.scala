@@ -584,6 +584,66 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       (carried ++ rewritten).sortBy(_.group)))
   }
 
+  /** [[commitDelta]] with OPTIMISTIC REBASE across disjoint rivals — the
+    * Iceberg-style validation retry. Losing the version race today costs
+    * the writer its whole attempt: re-read the advanced snapshot,
+    * re-resolve, re-write phase-1 data. But when every rival commit
+    * between `base0` and the new head provably left `touchedBuckets`
+    * byte-identical (the manifest file-set diff — metadata-only), the
+    * already-written delta is still the correct post-image of those
+    * buckets: re-point it at the head and publish, paying one manifest
+    * rewrite instead of a full batch re-run. This is the dominant race
+    * shape at scale — maintenance compacting COLD buckets while the
+    * stream merges HOT ones — and it turns that race from O(batch
+    * re-run) into O(touched manifest groups).
+    *
+    * Rebase is refused (rethrowing the race loss, so the caller's full
+    * retry takes over) when:
+    *  - the head changed `numBuckets` (our files' bucket layout is
+    *    stale) or `schemaId` (a rival evolution — the full retry
+    *    re-aligns against the new registry schema);
+    *  - any rival touched one of our buckets (file-set diff intersects)
+    *    — includes compaction/rollback/purge of them, since all rewrite
+    *    file paths;
+    *  - the caller's `eligible` veto fails (e.g. the merge's
+    *    exactly-once gate was advanced past this epoch by a rival —
+    *    this batch must NOT re-publish);
+    *  - `maxRebases` chained rivals already rebased this commit (a
+    *    livelock guard; the caller's bounded retry still applies).
+    *
+    * `summaryFor` re-derives the summary from each candidate base so
+    * inherited lineage (gates, watermark, lsn-high-water) comes from the
+    * snapshot actually being built on, never the stale one.
+    */
+  def commitDeltaRebasing(base0: Snapshot, schemaId: Int,
+      touchedBuckets: Set[Int], newFiles: Seq[DataFile],
+      summaryFor: Snapshot => Map[String, String],
+      eligible: Snapshot => Boolean = _ => true,
+      maxRebases: Int = 3): Snapshot = {
+    var base = base0
+    var rebases = 0
+    while (true) {
+      try return commitDelta(base, base.version + 1, schemaId,
+        touchedBuckets, newFiles, summaryFor(base))
+      catch { case e: IllegalStateException
+          if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+        val head = currentSnapshot
+        val ok = rebases < maxRebases &&
+          head.version > base.version &&
+          head.numBuckets == base.numBuckets &&
+          head.schemaId == base.schemaId &&
+          eligible(head) &&
+          changedBucketsBetween(base, head)._1
+            .intersect(touchedBuckets).isEmpty
+        if (!ok) throw e
+        rebases += 1
+        LakeTable.commitRebases.incrementAndGet()
+        base = head
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Commit a FULL-table rewrite, optionally at a NEW bucket count
     * (bucket-count evolution — [[Maintenance.rebucket]]). `newFiles`
     * must be the complete live file set, already laid out under
@@ -652,6 +712,11 @@ object LakeTable {
     */
   val lineageKeys: Seq[String] =
     Seq("last-epoch", "watermark-ms", "purge-version", "lsn-high-water")
+
+  /** Commits salvaged by [[LakeTable.commitDeltaRebasing]] in this JVM —
+    * each one is a full batch re-run that did NOT happen.
+    */
+  val commitRebases = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The subset of `summary` that must survive into the next commit. */
   def inheritLineage(summary: Map[String, String]): Map[String, String] =

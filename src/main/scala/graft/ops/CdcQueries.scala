@@ -35,6 +35,7 @@ object CdcQueries {
   private lazy val replDstDir: String = lakeDir("repl-dst")
   private lazy val replCkptDir: String = lakeDir("repl-ckpt")
   private lazy val cdfDir: String = lakeDir("cdf")
+  private lazy val rebaseDir: String = lakeDir("rebase")
 
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
   private def fresh(dir: String): String = {
@@ -148,6 +149,52 @@ object CdcQueries {
              |       CASE WHEN last_type = 'view' THEN last_value * 2
              |            ELSE last_value END AS last_value
              |FROM state WHERE last_type <> 'click'""".stripMargin)),
+
+    // Racing writers with OPTIMISTIC REBASE end to end
+    // (LakeTable.commitDeltaRebasing): split the key population by lake
+    // bucket — even buckets belong to the resident writer, odd buckets
+    // to a rival that commits INSIDE the resident's race window
+    // (Merge.beforeCommitHook, RebaseSpec's deterministic injector). The
+    // resident loses the version race, proves from the manifest diff
+    // that the rival left its buckets untouched, and REBASES its
+    // already-written delta onto the head — one manifest rewrite, no
+    // batch re-run. The query THROWS if the rebase didn't engage
+    // (content convergence alone can't distinguish a rebase from a
+    // silent full retry). Oracle: the pure argmax over the whole log —
+    // disjoint-bucket writers commute.
+    QueryDef(
+      "cdc_rebase_race",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val withB = log.withColumn("_b", Merge.bucketOf(col("url"), 8))
+        val outer = withB.filter(col("_b") % 2 === 0).drop("_b")
+        val rival = withB.filter(col("_b") % 2 === 1).drop("_b")
+        val t = LakeTable.create(s, fresh(rebaseDir), schemaId = 3,
+          numBuckets = 8)
+        val rebases0 = LakeTable.commitRebases.get()
+        val noop: () => Unit = () => ()
+        Merge.beforeCommitHook = () => {
+          Merge.beforeCommitHook = noop // the rival must not re-fire it
+          Merge.applyBatch(s, t, rival, 1L, batchSchemaVersion = 3)
+        }
+        try Merge.applyBatch(s, t, outer, 2L, batchSchemaVersion = 3)
+        finally Merge.beforeCommitHook = noop
+        log.unpersist()
+        require(LakeTable.commitRebases.get() > rebases0,
+          "cdc_rebase_race: the disjoint race was not salvaged by rebase")
+        t.readUser().select(
+          col("url").as("user_key"),
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("text").as("last_props"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"))
+      },
+      Some("""SELECT 'user:' || user_id AS user_key, ts AS last_ts,
+             |       props AS last_props, event_type AS last_type,
+             |       CAST(floor(value) AS BIGINT) AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
 
     // Lake-to-lake STREAMING replication end to end: merge two-thirds of
     // the log into a source table, drain it through one Structured
