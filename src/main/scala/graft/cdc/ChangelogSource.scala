@@ -452,9 +452,41 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
 
   private val conf = ParquetRowCodec.confFrom(hadoopConfDelta)
   private val urlIdx = readBase.fieldIndex("url")
+  private val tsIdx = readBase.fieldIndex("warc_ts")
   private val lsnIdx = readBase.fieldIndex(graft.core.Schemas.LsnCol)
   private val opIdx = readBase.fieldIndex(graft.core.Schemas.OpCol)
   private val D = UTF8String.fromString("D")
+
+  // merge-on-read LAYERED bucket: either side carries delta files whose
+  // urls overlap the base (and each other), so that side must resolve
+  // latest-wins per url BEFORE the diff — streaming layered rows through
+  // the (url, _lsn) probe would emit superseded rows. Resolution is the
+  // same (warc_ts, _lsn) argmax as LakeTable.resolveLatest, done in one
+  // bucket-local hash map (a bucket is the unit the lake already sizes
+  // to fit an executor; CDF mode holds before-side ROWS the same way).
+  private val layered = p.after.exists(_.delta) || p.before.exists(_.delta)
+
+  /** v beats cur under the lake's latest-wins order. Equal (warc_ts,
+    * _lsn) across layers means the same event re-published through
+    * another gate namespace — byte-identical rows, either wins.
+    */
+  private def beats(v: Array[Any], cur: Array[Any], tsI: Int,
+      lsnI: Int): Boolean = {
+    val tv = v(tsI).asInstanceOf[Long]; val tc = cur(tsI).asInstanceOf[Long]
+    tv > tc || (tv == tc &&
+      v(lsnI).asInstanceOf[Long] > cur(lsnI).asInstanceOf[Long])
+  }
+
+  private def resolveLayers(rows: Iterator[Array[Any]], uI: Int, tsI: Int,
+      lsnI: Int): java.util.HashMap[String, Array[Any]] = {
+    val best = new java.util.HashMap[String, Array[Any]]()
+    rows.foreach { v =>
+      val url = v(uI).asInstanceOf[UTF8String].toString
+      val cur = best.get(url)
+      if (cur == null || beats(v, cur, tsI, lsnI)) best.put(url, v)
+    }
+    best
+  }
 
   // the one parquet reader open right now (files are read strictly
   // sequentially): close() must release it when Spark ends the task
@@ -490,13 +522,25 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   private val beforeRows: java.util.HashMap[String, Array[Any]] =
     if (cdf) new java.util.HashMap[String, Array[Any]]() else null
   locally {
-    val target = if (cdf) readBase else StructType(
-      Seq(readBase("url"), readBase(graft.core.Schemas.LsnCol)))
-    val (u, l) = if (cdf) (urlIdx, lsnIdx) else (0, 1)
-    try p.before.iterator.flatMap(fileRows(_, target)).foreach { v =>
-      val url = v(u).asInstanceOf[UTF8String].toString
-      beforeKeys.add((url, v(l).asInstanceOf[Long]))
-      if (cdf) beforeRows.put(url, v)
+    // layered non-CDF needs warc_ts for the in-map resolve ordering;
+    // plain non-CDF keeps the narrow (url, _lsn) projection
+    val target = if (cdf) readBase else if (layered) StructType(
+      Seq(readBase("url"), readBase("warc_ts"),
+        readBase(graft.core.Schemas.LsnCol)))
+    else StructType(Seq(readBase("url"), readBase(graft.core.Schemas.LsnCol)))
+    val (u, ts, l) =
+      if (cdf) (urlIdx, tsIdx, lsnIdx) else if (layered) (0, 1, 2) else (0, 1, 1)
+    try {
+      val rows = p.before.iterator.flatMap(fileRows(_, target))
+      if (layered) resolveLayers(rows, u, ts, l).forEach { (url, v) =>
+        beforeKeys.add((url, v(l).asInstanceOf[Long]))
+        if (cdf) beforeRows.put(url, v)
+      }
+      else rows.foreach { v =>
+        val url = v(u).asInstanceOf[UTF8String].toString
+        beforeKeys.add((url, v(l).asInstanceOf[Long]))
+        if (cdf) beforeRows.put(url, v)
+      }
     } catch { case t: Throwable => close(); throw t }
   }
 
@@ -521,7 +565,15 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   }
 
   private val rows: Iterator[InternalRow] = {
-    val after = p.after.iterator.flatMap(fileRows(_, readBase))
+    val afterRaw = p.after.iterator.flatMap(fileRows(_, readBase))
+    val after =
+      if (!layered) afterRaw
+      else try {
+        // materialize the after side's per-url winners (bucket-local,
+        // bucket-sized); superseded layer rows must never reach the diff
+        import scala.jdk.CollectionConverters._
+        resolveLayers(afterRaw, urlIdx, tsIdx, lsnIdx).values().iterator().asScala
+      } catch { case t: Throwable => close(); throw t }
     val moved = after.filter { v =>
       !beforeKeys.contains(
         (v(urlIdx).asInstanceOf[UTF8String].toString,

@@ -216,6 +216,24 @@ object Merge {
     // /root/reference/upload_data/Teams/upload_team_tables.R:67-80)
     val fullRewrite = truncate ||
       batchBytesHint.exists(b => b > 0 && b * 4 > tableBytes)
+    // MERGE-ON-READ (write-mode "mor", persisted table property or
+    // per-session `graft.merge.writeMode` override): the batch's winners
+    // are appended as per-bucket DELTA files and the touched buckets'
+    // existing files carry forward UNRESOLVED — readers fold the layers
+    // latest-wins ([[graft.lake.LakeTable.resolveLatest]]) and compaction
+    // folds them back into sorted base files. This trades read-side
+    // resolution for the CoW path's write amplification: a micro-batch
+    // touching a bucket costs O(batch rows in bucket), not O(bucket
+    // bytes) — at 10^10 events with hot domains re-touching the same
+    // ~256 MB buckets every batch, that is the difference between
+    // writing the batch and rewriting the table's hot set each commit.
+    // Only the incremental (prune) path runs MoR: once a batch is
+    // table-sized (fullRewrite) or a TRUNCATE, rewriting IS the cheaper
+    // shape and CoW proceeds as before.
+    val morMode = !fullRewrite &&
+      spark.conf.getOption("graft.merge.writeMode")
+        .orElse(snap.summary.get("write-mode"))
+        .getOrElse("cow") == "mor"
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -252,7 +270,11 @@ object Merge {
           (System.nanoTime() - t0) / 1000000)
       }
       val tb = st.getAs[scala.collection.Seq[Int]]("buckets").toSet
-      (Future.successful(st), tb, table.readBuckets(snap, tb), true)
+      // MoR never reads the touched buckets' current rows — the whole
+      // point; resolution happens at read/compaction time
+      (Future.successful(st), tb,
+        if (morMode) table.readBuckets(snap, Set.empty)
+        else table.readBuckets(snap, tb), true)
     }
 
     // 4. align current rows (old snapshot schema) to the evolved target:
@@ -347,14 +369,25 @@ object Merge {
     val payloadCols = target.fields.map(_.name)
       .filterNot(c => c == "url" || orderCols.contains(c))
     val packCols = orderCols ++ payloadCols
-    val survivors = current.unionByName(batchWinners)
-      .withColumn("_bucket", bucketOf(col("url"), nb))
-      .repartition(math.max(1, touched.size), col("_bucket"))
-      .groupBy(col("_bucket"), col("url"))
-      .agg(max(struct(packCols.map(col): _*)).as("_m"))
-      .select(col("_bucket") +: col("url") +:
-        packCols.map(c => col(s"_m.$c").as(c)): _*)
-      .select((target.fields.map(f => col(f.name)) :+ col("_bucket")).toSeq: _*)
+    val survivors =
+      if (morMode)
+        // already ≤1 row per url (winners semi-join on unique LSN): no
+        // resolve agg — one exchange clusters the batch by bucket for
+        // the delta-file layout, and that is the batch's ONLY wide op
+        // over payload
+        batchWinners
+          .withColumn("_bucket", bucketOf(col("url"), nb))
+          .repartition(math.max(1, touched.size), col("_bucket"))
+          .select((target.fields.map(f => col(f.name)) :+
+            col("_bucket")).toSeq: _*)
+      else current.unionByName(batchWinners)
+        .withColumn("_bucket", bucketOf(col("url"), nb))
+        .repartition(math.max(1, touched.size), col("_bucket"))
+        .groupBy(col("_bucket"), col("url"))
+        .agg(max(struct(packCols.map(col): _*)).as("_m"))
+        .select(col("_bucket") +: col("url") +:
+          packCols.map(c => col(s"_m.$c").as(c)): _*)
+        .select((target.fields.map(f => col(f.name)) :+ col("_bucket")).toSeq: _*)
 
     // 6a. write data files (phase 1): the exchange above already clustered
     //     rows by bucket, so each bucket lands in few files (bounded write
@@ -370,7 +403,7 @@ object Merge {
 
     // collect written files + row counts from parquet footers (no second
     // scan of the data)
-    val written = listWritten(commitDir, newSchemaId)
+    val written = listWritten(commitDir, newSchemaId, delta = morMode)
     tp = dbg(epoch, "footers", tp)
     val rowsApplied = written.map(_.rows).sum
 
@@ -453,6 +486,12 @@ object Merge {
         "conflict-count" -> conflicts.toString,
         "quarantine-count" -> quarantined.toString,
         "touched-buckets" -> touched.size.toString) ++
+        // MoR bookkeeping: running live-delta-file count (O(1) metadata
+        // for Maintenance.plan's fold trigger; compact/rebucket reset it)
+        (if (morMode) Map("mor-delta-files" ->
+          (base.summary.get("mor-delta-files").map(_.toLong).getOrElse(0L)
+            + written.size).toString)
+        else Map.empty) ++
         // a truncate drops keys WITHOUT tombstones, so like a tombstone
         // purge it fences changesBetween ranges that cross it — a replica
         // must re-bootstrap, not merge a delta over a replaced table
@@ -472,7 +511,14 @@ object Merge {
     // advanced this namespace to >= epoch, a duplicate of this batch
     // already published — fall through to the full retry, whose gate
     // check skips it.
-    try table.commitDeltaRebasing(snap, newSchemaId, touched, written,
+    // MoR: the touched buckets' existing files CARRY (the delta layers
+    // stack on top); CoW: they are replaced. Carrying `snap`'s file list
+    // is rebase-sound — rebase only fires when the rival provably left
+    // the touched buckets' file sets identical, so the head's list for
+    // them equals the base's.
+    val commitFiles =
+      if (morMode) snap.filesForBuckets(touched) ++ written else written
+    try table.commitDeltaRebasing(snap, newSchemaId, touched, commitFiles,
       summaryFor,
       eligible = head =>
         head.summary.get(gateKey).forall(_.toLong < epoch))
@@ -588,7 +634,8 @@ object Merge {
   def listWrittenFiles(commitDir: String, schemaId: Int): Seq[DataFile] =
     listWritten(commitDir, schemaId)
 
-  private def listWritten(commitDir: String, schemaId: Int): Seq[DataFile] = {
+  private def listWritten(commitDir: String, schemaId: Int,
+      delta: Boolean = false): Seq[DataFile] = {
     val root = Paths.get(commitDir)
     val BucketDir = "_bucket=(\\d+)".r
     val paths = graft.core.Fs.list(root).flatMap { sub =>
@@ -610,7 +657,7 @@ object Merge {
           def call(): DataFile = {
             val (rows, ts) = footerMeta(p)
             DataFile(p.toString, b, rows, Files.size(p), schemaId,
-              ts.map(_._1), ts.map(_._2))
+              ts.map(_._1), ts.map(_._2), delta = delta)
           }
         })
       }

@@ -14,9 +14,18 @@ import scala.jdk.CollectionConverters._
   * pruning), harvested from parquet footer stats during the commit's
   * footer pass — absent for files written before stats capture (or as
   * stats-less INT96), which are then simply never ts-pruned.
+  *
+  * `delta = true` marks a merge-on-read DELTA layer (write-mode `mor`,
+  * [[graft.cdc.Merge.applyBatch]]): the file holds only one batch's
+  * winning rows for its bucket, overlapping the bucket's base file (and
+  * earlier deltas) by url. Readers resolve layered buckets latest-wins
+  * ([[LakeTable.resolveLatest]]); compaction folds the layers back into
+  * a single base file. Absent in the manifest JSON ⇒ base (backward
+  * compatible with every pre-MoR manifest).
   */
 final case class DataFile(path: String, bucket: Int, rows: Long, bytes: Long,
-    schemaId: Int, tsMin: Option[Long] = None, tsMax: Option[Long] = None)
+    schemaId: Int, tsMin: Option[Long] = None, tsMax: Option[Long] = None,
+    delta: Boolean = false)
 
 /** One immutable manifest file: the data-file list for one contiguous
   * bucket group ([group × bucketsPerManifest, …+bucketsPerManifest)), with
@@ -225,7 +234,8 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
           if (f.has("bytes")) f.get("bytes").asLong() else 0L,
           f.get("schemaId").asInt(),
           if (f.has("tsMin")) Some(f.get("tsMin").asLong()) else None,
-          if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None)
+          if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None,
+          delta = f.has("delta") && f.get("delta").asBoolean())
       }.toSeq,
       summary = node.get("summary").fields().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
@@ -244,15 +254,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     * snapshot schema — this is what makes INT→LONG widening and added
     * columns safe on old files.
     */
-  def read(s: Snapshot): DataFrame = {
-    val target = schemaFor(s.schemaId)
-    if (s.files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
-    else
-      s.files.groupBy(_.schemaId).map { case (sid, fs) =>
-        align(GraftScan.scan(spark, fs, schemaFor(sid), s.numBuckets), target)
-      }.reduce(_ unionByName _)
-  }
+  def read(s: Snapshot): DataFrame = readFiles(s, s.files)
 
   def read(): DataFrame = read(currentSnapshot)
 
@@ -269,15 +271,42 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     * Opens only the manifests whose bucket groups intersect — the metadata
     * cost tracks the batch's touched set, not the table's file count.
     */
-  def readBuckets(s: Snapshot, buckets: Set[Int]): DataFrame = {
-    val fs = s.filesForBuckets(buckets)
+  def readBuckets(s: Snapshot, buckets: Set[Int]): DataFrame =
+    readFiles(s, s.filesForBuckets(buckets))
+
+  /** Scan `fs` aligned to `s`'s schema, resolving merge-on-read LAYERS:
+    * a bucket carrying delta files holds overlapping (url) rows across
+    * its base + delta layers, so those buckets route through one
+    * latest-wins hash-agg ([[LakeTable.resolveLatest]] — the same
+    * (warc_ts, _lsn) argmax the CoW merge applies at write time) while
+    * delta-free buckets keep the plain scan. Every read path
+    * (changesBetween, CDF, compaction, SQL, time travel) builds on this,
+    * so MoR resolution is defined in exactly one place.
+    *
+    * Scale shape: the union splits at the FILE level, so the resolve
+    * exchange moves only the layered buckets' rows — O(un-compacted
+    * churn), not O(table); a fully-compacted table pays zero. Filter
+    * pushdown: url predicates (bucket pruning) push through the resolve
+    * agg (url is its grouping key); warc_ts zone-map predicates stop
+    * above it — pruning a layer by time could resurrect a superseded
+    * row, so Catalyst's refusal to push non-grouping predicates is
+    * exactly the correct behavior, and delta-free buckets still get the
+    * full pushdown.
+    */
+  private def readFiles(s: Snapshot, fs: Seq[DataFile]): DataFrame = {
     val target = schemaFor(s.schemaId)
-    if (fs.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
-    else
-      fs.groupBy(_.schemaId).map { case (sid, group) =>
-        align(GraftScan.scan(spark, group, schemaFor(sid), s.numBuckets), target)
+    def scan(group: Seq[DataFile]): DataFrame =
+      group.groupBy(_.schemaId).map { case (sid, g) =>
+        align(GraftScan.scan(spark, g, schemaFor(sid), s.numBuckets), target)
       }.reduce(_ unionByName _)
+    if (fs.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
+    val layeredBuckets = fs.iterator.filter(_.delta).map(_.bucket).toSet
+    if (layeredBuckets.isEmpty) return scan(fs)
+    val (layered, plain) = fs.partition(f => layeredBuckets.contains(f.bucket))
+    val resolved = LakeTable.resolveLatest(scan(layered), target)
+    if (plain.isEmpty) resolved else scan(plain).unionByName(resolved)
   }
 
   /** Incremental read — the CDC *output* side (Iceberg-style changelog):
@@ -340,8 +369,22 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
   def changeFileTasks(from: Int, to: Int): Seq[BucketChangeTask] = {
     validateChangeRange(from, to)
     val b = snapshot(to)
-    if (from == -1)
-      return b.files.map(f => BucketChangeTask(f.bucket, Seq(f), Nil))
+    if (from == -1) {
+      // bootstrap plans one task per FILE — except merge-on-read layered
+      // buckets, whose files overlap by url and must resolve TOGETHER in
+      // one bucket task (emitting each layer separately would replay
+      // superseded rows into the replica)
+      val (layeredB, plain) = b.files.partition(_.delta) match {
+        case (d, rest) =>
+          val lb = d.map(_.bucket).toSet
+          (b.files.filter(f => lb.contains(f.bucket)).groupBy(_.bucket),
+            rest.filterNot(f => lb.contains(f.bucket)))
+      }
+      return plain.map(f => BucketChangeTask(f.bucket, Seq(f), Nil)) ++
+        layeredB.toSeq.sortBy(_._1).map { case (k, fs) =>
+          BucketChangeTask(k, fs, Nil)
+        }
+    }
     fencePurge(from, to, b)
     val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
     if (from == to || changedBuckets.isEmpty) return Nil
@@ -529,6 +572,7 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
       n.put("rows", f.rows); n.put("bytes", f.bytes)
       n.put("schemaId", f.schemaId)
       f.tsMin.foreach(n.put("tsMin", _)); f.tsMax.foreach(n.put("tsMax", _))
+      if (f.delta) n.put("delta", true)
     }
     if (next.manifests.nonEmpty) {
       val ms = out.putArray("manifests")
@@ -711,7 +755,16 @@ object LakeTable {
     * commits made by other drivers or its resume gate silently resets.
     */
   val lineageKeys: Seq[String] =
-    Seq("last-epoch", "watermark-ms", "purge-version", "lsn-high-water")
+    Seq("last-epoch", "watermark-ms", "purge-version", "lsn-high-water",
+      // table write mode ("cow" default / "mor") — a persisted property,
+      // set via updateProperties / CALL graft.system.set_write_mode
+      "write-mode",
+      // running count of live MoR delta files — O(1) metadata for
+      // Maintenance.plan's fold trigger; reset to 0 by compact/rebucket
+      // (they rewrite every layered bucket). A CoW merge that happens to
+      // fold some layered buckets leaves it an overestimate — a
+      // maintenance heuristic, never a correctness input.
+      "mor-delta-files")
 
   /** Commits salvaged by [[LakeTable.commitDeltaRebasing]] in this JVM —
     * each one is a full batch re-run that did NOT happen.
@@ -769,7 +822,8 @@ object LakeTable {
         f.get("rows").asLong(), f.get("bytes").asLong(),
         f.get("schemaId").asInt(),
         if (f.has("tsMin")) Some(f.get("tsMin").asLong()) else None,
-        if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None)
+        if (f.has("tsMax")) Some(f.get("tsMax").asLong()) else None,
+        delta = f.has("delta") && f.get("delta").asBoolean())
     }.toSeq
   }
 
@@ -789,6 +843,7 @@ object LakeTable {
       n.put("rows", f.rows); n.put("bytes", f.bytes)
       n.put("schemaId", f.schemaId)
       f.tsMin.foreach(n.put("tsMin", _)); f.tsMax.foreach(n.put("tsMax", _))
+      if (f.delta) n.put("delta", true)
     }
     val p = dir.resolve(
       s"m$version-g$group-${java.util.UUID.randomUUID().toString.take(8)}.json")
@@ -813,6 +868,29 @@ object LakeTable {
   }
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "meta"))
+
+  /** Latest-wins resolution of merge-on-read layers: one row per url —
+    * the max of struct(warc_ts, _lsn, payload…), byte-identical to the
+    * argmax the CoW write path applies ([[graft.cdc.Merge.applyBatch]]
+    * step 5), so a MoR table reads exactly what its CoW twin stores.
+    * Tombstone winners are KEPT (`_op = 'D'`) — [[LakeTable.readUser]]
+    * filters them like any base-file tombstone, and a late upsert older
+    * than a delete still cannot resurrect the key. One hash-agg exchange
+    * over only the layered rows; map-side partial combine applies (≤
+    * layers rows per url).
+    */
+  private[graft] def resolveLatest(df: DataFrame,
+      target: StructType): DataFrame = {
+    val orderCols = Seq("warc_ts", graft.core.Schemas.LsnCol)
+    val payload = target.fields.map(_.name)
+      .filterNot(c => c == "url" || orderCols.contains(c))
+    val pack = orderCols ++ payload
+    df.groupBy(col("url"))
+      .agg(max(struct(pack.map(col): _*)).as("_m"))
+      .select(target.fields.map(f =>
+        if (f.name == "url") col("url")
+        else col(s"_m.${f.name}").as(f.name)).toSeq: _*)
+  }
 
   /** Cast / null-backfill `df` to `target` column-by-column. */
   private[graft] def align(df: DataFrame, target: StructType): DataFrame =

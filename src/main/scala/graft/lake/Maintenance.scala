@@ -173,7 +173,9 @@ object Maintenance {
     commitRewriteOrCleanup(table, commitDir) {
       table.commitRewrite(snap, snap.schemaId, snap.numBuckets, written,
         LakeTable.inheritLineage(snap.summary) ++ Map("compaction" -> "true",
-          "compacted-from" -> snap.fileCount.toString) ++ purgeMark)
+          "compacted-from" -> snap.fileCount.toString,
+          // every MoR delta layer was folded into the rewritten bases
+          "mor-delta-files" -> "0") ++ purgeMark)
     }
   }
 
@@ -201,7 +203,10 @@ object Maintenance {
         LakeTable.inheritLineage(snap.summary) ++ Map(
           "compaction" -> "true",
           "compaction-scope" -> s"${dirty.size}/${snap.numBuckets}",
-          "compacted-from" -> snap.filesForBuckets(dirty).size.toString))
+          "compacted-from" -> snap.filesForBuckets(dirty).size.toString,
+          // dirty ⊇ every bucket that gained a MoR delta since the base
+          // (delta files are new files), so folding dirty folds them all
+          "mor-delta-files" -> "0"))
     }
   }
 
@@ -257,7 +262,8 @@ object Maintenance {
       table.commitRewrite(snap, snap.schemaId, newBuckets, written,
         LakeTable.inheritLineage(snap.summary) ++ Map(
           "rebucket" -> "true",
-          "rebucketed-from" -> snap.numBuckets.toString))
+          "rebucketed-from" -> snap.numBuckets.toString,
+          "mor-delta-files" -> "0"))
     }
   }
 
@@ -339,7 +345,8 @@ object Maintenance {
     * above; MaintenanceSpec pins it).
     */
   def plan(table: LakeTable, targetBucketBytes: Long = 256L << 20,
-      churnThreshold: Int = 64): (String, String, Option[Int]) = {
+      churnThreshold: Int = 64,
+      morFoldThreshold: Int = 32): (String, String, Option[Int]) = {
     // a zero/negative target would drive the drift branch straight to
     // the 2^20-bucket clamp — a pathological million-file rewrite from a
     // nonsensical knob; reject like rebucket rejects buckets < 1
@@ -347,6 +354,8 @@ object Maintenance {
       s"targetBucketBytes must be > 0 (got $targetBucketBytes)")
     require(churnThreshold >= 1,
       s"churnThreshold must be >= 1 (got $churnThreshold)")
+    require(morFoldThreshold >= 1,
+      s"morFoldThreshold must be >= 1 (got $morFoldThreshold)")
     val s = table.currentSnapshot
     if (s.fileCount == 0)
       return ("none", "empty table", None)
@@ -372,13 +381,25 @@ object Maintenance {
         val sum = table.snapshot(v).summary
         sum.contains("compaction") || sum.contains("rebucket")
       }
+    // merge-on-read fold debt: every live delta layer costs its bucket a
+    // read-side resolve (and loses it the warc_ts zone maps), so deltas
+    // trigger compaction on their own clock, independent of churn. The
+    // counter is O(1) summary metadata maintained by the MoR merge and
+    // reset by compact/rebucket — plan() stays metadata-only. Checked
+    // before churn: fold debt prices a per-READ cost, churn only a
+    // per-range-scan one.
+    val morDeltas = s.summary.get("mor-delta-files").map(_.toLong).getOrElse(0L)
+    if (morDeltas >= morFoldThreshold)
+      return ("compact",
+        s"$morDeltas merge-on-read delta layers outstanding (threshold " +
+          s"$morFoldThreshold) — fold into sorted bases", None)
     val churn = s.version - lastOpt.getOrElse(-1)
     if (churn >= churnThreshold)
       return ("compact",
         s"$churn commits since the last within-bucket warc_ts sort " +
           s"(threshold $churnThreshold) — zone maps decayed", None)
     ("none", s"within thresholds (avg bucket ${avg >> 10} KB, " +
-      s"churn $churn/$churnThreshold)", None)
+      s"churn $churn/$churnThreshold, mor-deltas $morDeltas)", None)
   }
 
   /** Execute [[plan]]: the engine-decided maintenance pass (`CALL
@@ -387,8 +408,9 @@ object Maintenance {
     */
   def autoMaintain(spark: SparkSession, table: LakeTable,
       targetBucketBytes: Long = 256L << 20, churnThreshold: Int = 64,
-      purgeTombstones: Boolean = false): (String, String, Int) =
-    plan(table, targetBucketBytes, churnThreshold) match {
+      purgeTombstones: Boolean = false,
+      morFoldThreshold: Int = 32): (String, String, Int) =
+    plan(table, targetBucketBytes, churnThreshold, morFoldThreshold) match {
       case ("rebucket", reason, Some(n)) =>
         (s"rebucket($n)", reason, rebucket(spark, table, n).version)
       case ("compact", reason, _) =>

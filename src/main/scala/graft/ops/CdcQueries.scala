@@ -36,6 +36,7 @@ object CdcQueries {
   private lazy val replCkptDir: String = lakeDir("repl-ckpt")
   private lazy val cdfDir: String = lakeDir("cdf")
   private lazy val rebaseDir: String = lakeDir("rebase")
+  private lazy val morDir: String = lakeDir("mor")
 
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
   private def fresh(dir: String): String = {
@@ -182,6 +183,49 @@ object CdcQueries {
         log.unpersist()
         require(LakeTable.commitRebases.get() > rebases0,
           "cdc_rebase_race: the disjoint race was not salvaged by rebase")
+        t.readUser().select(
+          col("url").as("user_key"),
+          col("warc_ts").cast("timestamp_ntz").as("last_ts"),
+          col("text").as("last_props"),
+          col("lang").as("last_type"),
+          col("content_len").as("last_value"))
+      },
+      Some("""SELECT 'user:' || user_id AS user_key, ts AS last_ts,
+             |       props AS last_props, event_type AS last_type,
+             |       CAST(floor(value) AS BIGINT) AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // MERGE-ON-READ end to end: the same three-epoch merge as
+    // cdc_merge_events, but under `write-mode = mor` — each epoch appends
+    // per-bucket DELTA layers (no hint, so the prune path runs and MoR
+    // engages) instead of rewriting its touched buckets, and the final
+    // read resolves the layer stack latest-wins (LakeTable.resolveLatest).
+    // The query THROWS if no delta layer exists at read time (a silent
+    // CoW fallback would still pass the oracle), so the driver's green
+    // row pins BOTH the O(batch) write shape and the read-side
+    // resolution against the pure-argmax DuckDB oracle.
+    QueryDef(
+      "cdc_mor_merge",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val cut1 = maxLsn / 3
+        val cut2 = 2 * maxLsn / 3
+        val t = LakeTable.create(s, fresh(morDir), schemaId = 3,
+          numBuckets = 8)
+        t.updateProperties(Map("write-mode" -> "mor"))
+        Seq(
+          log.filter(col("lsn") <= cut1),
+          log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
+          log.filter(col("lsn") > cut2)
+        ).zipWithIndex.foreach { case (batch, epoch) =>
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+        }
+        log.unpersist()
+        require(t.currentSnapshot.files.exists(_.delta),
+          "cdc_mor_merge: no delta layers — merge-on-read did not engage")
         t.readUser().select(
           col("url").as("user_key"),
           col("warc_ts").cast("timestamp_ntz").as("last_ts"),

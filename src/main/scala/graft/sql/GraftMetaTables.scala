@@ -43,7 +43,9 @@ object GraftMetaTables {
     StructField("schema_id", IntegerType, nullable = false),
     // warc_ts zone map (epoch micros) — null for pre-stats files
     StructField("ts_min", LongType, nullable = true),
-    StructField("ts_max", LongType, nullable = true)))
+    StructField("ts_max", LongType, nullable = true),
+    // merge-on-read delta layer (write-mode mor); false = base file
+    StructField("delta", BooleanType, nullable = false)))
 
   val manifestsSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -119,7 +121,8 @@ object GraftMetaTables {
         }
       case "files" =>
         snap.files.map(f => Row(f.path, f.bucket, f.rows, f.bytes, f.schemaId,
-          f.tsMin.map(Long.box).orNull, f.tsMax.map(Long.box).orNull))
+          f.tsMin.map(Long.box).orNull, f.tsMax.map(Long.box).orNull,
+          f.delta))
       case "manifests" =>
         snap.manifests.map(m => Row(m.path, m.group, m.numFiles, m.rows, m.bytes))
       case "metrics" =>

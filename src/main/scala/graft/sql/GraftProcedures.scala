@@ -41,7 +41,7 @@ private[sql] object GraftProcedures {
 
   private val names =
     Seq("compact", "rebucket", "rollback", "expire_snapshots", "gc",
-      "auto_maintain")
+      "auto_maintain", "set_write_mode")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     def spark = SparkSession.active
@@ -111,6 +111,19 @@ private[sql] object GraftProcedures {
             churnThreshold = if (input.isNullAt(3)) 64 else input.getInt(3),
             purgeTombstones = !input.isNullAt(1) && input.getBoolean(1))
           Seq(action, reason, v)
+        })
+      case "set_write_mode" => new MaintenanceProcedure(
+        "set_write_mode",
+        Array(in("table", StringType), in("mode", StringType)),
+        new StructType().add("version", IntegerType).add("mode", StringType),
+        input => {
+          val mode = input.getUTF8String(1).toString
+          require(mode == "cow" || mode == "mor",
+            s"write mode must be 'cow' (copy-on-write) or 'mor' " +
+              s"(merge-on-read), got '$mode'")
+          val s = tableOf(input)
+            .updateProperties(Map("write-mode" -> mode))
+          Seq(s.version, mode)
         })
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other " +

@@ -1,0 +1,117 @@
+package graft.tools
+
+import graft.cdc.Merge
+import graft.core.ChangeGen
+import graft.lake.{LakeTable, Maintenance}
+import org.apache.spark.sql.SparkSession
+
+/** Quantifies merge-on-read vs copy-on-write in the regime MoR exists
+  * for: a stream of micro-batches whose hot keys re-touch a large
+  * table's buckets every commit. Twin tables with identical content:
+  *
+  *  - COW: each batch rewrites every touched bucket (resolve against
+  *    current rows + full bucket rewrite) — write cost O(touched bucket
+  *    bytes) per batch;
+  *  - MOR: each batch appends per-bucket delta layers — write cost
+  *    O(batch) per batch; reads pay the layer resolve until compaction
+  *    folds the stack.
+  *
+  * Both sides then price the READ: a full user-view count on the
+  * layered MoR table (resolve tax), the fold (compaction), and the
+  * post-fold read (back to parity). The honest accounting: MoR wins
+  * ingest by the amplification factor and repays a bounded read +
+  * fold cost — exactly the trade a 10^10-event pipeline wants when
+  * batches are minutes apart and folds are hourly.
+  *
+  * Table: ~1M urls over 2000 domains, 2048 buckets. Churn: 5 batches ×
+  * 20k events over ~2000 hot keys (most buckets touched every batch —
+  * the hot-domain worst case for CoW). args: [cpus] (default 8).
+  * Prints one line:
+  * MOR_APPLY_SEC <s> COW_APPLY_SEC <s> SPEEDUP <x> MOR_ROWS <n>
+  * COW_ROWS <n> AMP <x> MOR_READ_SEC <s> FOLD_SEC <s> COW_READ_SEC <s>
+  */
+object MorBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName(s"mor-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 256 buckets × ~2M rows ⇒ ~8k rows (~10 MB) per bucket: small enough
+    // to run, big enough that the CoW rewrite cost per batch reflects
+    // bucket MASS (the at-scale regime is 256 MB buckets — every ratio
+    // here UNDERSTATES the true gap by that factor)
+    val nb = 256
+    val nBatches = 5
+
+    val baseCfg = ChangeGen.Config(nEvents = 2000000L, nDomains = 2000,
+      pagesPerDomain = 500, v1Frac = 0.0, v2Frac = 0.0)
+    // hot set: ~2000 keys spread across ~all buckets, re-hit per batch
+    val hotCfg = ChangeGen.Config(nEvents = 100000L, nDomains = 50,
+      pagesPerDomain = 40, v1Frac = 0.0, v2Frac = 0.0)
+    val per = hotCfg.nEvents / nBatches
+    val batches = (0 until nBatches).map { i =>
+      val b = ChangeGen.eventsRange(spark, hotCfg, i * per, (i + 1) * per)
+        .cache()
+      b.count()
+      b
+    }
+
+    def initTable(mode: String): LakeTable = {
+      val dir = java.nio.file.Files.createTempDirectory("morbench").toString
+      val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = nb)
+      if (mode == "mor") t.updateProperties(Map("write-mode" -> mode))
+      Merge.applyBatch(spark, t, ChangeGen.events(spark, baseCfg),
+        epoch = -1L, batchSchemaVersion = 3, batchBytesHint = Some(1L << 60))
+      t
+    }
+
+    // JIT warmup, untimed (both write paths + the layered read)
+    locally {
+      val d = java.nio.file.Files.createTempDirectory("morbench-warm").toString
+      val w = LakeTable.create(spark, d, schemaId = 3, numBuckets = 8)
+      Merge.applyBatch(spark, w, batches.head, 0L, 3)
+      w.updateProperties(Map("write-mode" -> "mor"))
+      Merge.applyBatch(spark, w, batches.head, 1L, 3, gateKey = "warm2")
+      w.readUser().count()
+      Maintenance.compact(spark, w)
+      graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(d))
+    }
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def applyAll(t: LakeTable): Long = {
+      var rows = 0L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        rows += Merge.applyBatch(spark, t, b, i.toLong, 3).rowsApplied
+      }
+      rows
+    }
+
+    val tMor = initTable("mor")
+    val tCow = initTable("cow")
+    val (cowSec, cowRows) = timed(applyAll(tCow))
+    val (morSec, morRows) = timed(applyAll(tMor))
+    require(tMor.currentSnapshot.files.exists(_.delta),
+      "MOR twin wrote no delta layers")
+    val (morReadSec, morCount) = timed(tMor.readUser().count())
+    val (foldSec, _) = timed(Maintenance.compact(spark, tMor))
+    val (cowReadSec, cowCount) = timed(tCow.readUser().count())
+    require(morCount == cowCount,
+      s"twins diverged: mor=$morCount cow=$cowCount")
+    println(f"MOR_APPLY_SEC $morSec%.2f COW_APPLY_SEC $cowSec%.2f " +
+      f"SPEEDUP ${cowSec / morSec}%.1f MOR_ROWS $morRows COW_ROWS $cowRows " +
+      f"AMP ${cowRows.toDouble / math.max(1L, morRows)}%.1f " +
+      f"MOR_READ_SEC $morReadSec%.2f FOLD_SEC $foldSec%.2f " +
+      f"COW_READ_SEC $cowReadSec%.2f")
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tMor.dir))
+    graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tCow.dir))
+    spark.stop()
+  }
+}

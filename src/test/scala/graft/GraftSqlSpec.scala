@@ -89,6 +89,52 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read through SQL: set_write_mode, MERGE appends delta " +
+      "layers, SELECT resolves them, auto_maintain folds") {
+    withSqlSession { s =>
+      val dir = TestSpark.tempDir("sqlmor")
+      graft.lake.LakeTable.create(s, dir, schemaId = 3, numBuckets = 4)
+      val r = s.sql(
+        s"CALL graft.system.set_write_mode(table => '$dir', mode => 'mor')")
+        .collect().head
+      assert(r.getAs[String]("mode") == "mor")
+      intercept[Exception] { s.sql(
+        s"CALL graft.system.set_write_mode(table => '$dir', mode => 'zzz')")
+        .collect() }
+
+      val src0 = """SELECT * FROM VALUES
+        |  (1L, 'U', 'http://a', TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS BINARY), 'text a', 'en', 6L),
+        |  (2L, 'U', 'http://b', TIMESTAMP '2024-01-01 00:00:01', CAST(NULL AS BINARY), 'text b', 'en', 6L)
+        |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin
+      s.sql(mergeSql(dir, src0)).collect()
+      val src1 = """SELECT * FROM VALUES
+        |  (3L, 'U', 'http://a', TIMESTAMP '2024-01-02 00:00:00', CAST(NULL AS BINARY), 'text a v2', 'en', 9L),
+        |  (4L, 'D', 'http://b', TIMESTAMP '2024-01-02 00:00:01', CAST(NULL AS BINARY), NULL, NULL, NULL)
+        |AS v(lsn, op, url, warc_ts, html, text, lang, content_len)""".stripMargin
+      s.sql(mergeSql(dir, src1)).collect()
+
+      // both merges appended delta layers (visible in t$files)…
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files` WHERE delta")
+        .head().getLong(0) >= 2)
+      // …and the SELECT resolves the stack: a updated, b tombstoned
+      val rows = s.sql(s"SELECT url, text FROM graft.`$dir` ORDER BY url")
+        .collect().map(r2 => (r2.getString(0), r2.getString(1)))
+      assert(rows.toSeq == Seq(("http://a", "text a v2")))
+
+      // auto_maintain sees the fold debt and compacts it away
+      val m = s.sql(s"CALL graft.system.auto_maintain(table => '$dir')")
+        .collect().head
+      // default threshold (32) not reached by 2 layers — explicit compact
+      assert(m.getAs[String]("action") == "none")
+      s.sql(s"CALL graft.system.compact(table => '$dir')").collect()
+      assert(s.sql(s"SELECT count(*) FROM graft.`$dir$$files` WHERE delta")
+        .head().getLong(0) == 0)
+      assert(s.sql(s"SELECT url, text FROM graft.`$dir`").collect()
+        .map(r2 => (r2.getString(0), r2.getString(1))).toSeq ==
+        Seq(("http://a", "text a v2")))
+    }
+  }
+
   test("metadata tables: $history/$files/$manifests/$metrics via SQL") {
     withSqlSession { s =>
       val dir = TestSpark.tempDir("sqlmeta")
