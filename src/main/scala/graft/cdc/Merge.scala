@@ -511,17 +511,23 @@ object Merge {
     // advanced this namespace to >= epoch, a duplicate of this batch
     // already published — fall through to the full retry, whose gate
     // check skips it.
-    // MoR: the touched buckets' existing files CARRY (the delta layers
-    // stack on top); CoW: they are replaced. Carrying `snap`'s file list
-    // is rebase-sound — rebase only fires when the rival provably left
-    // the touched buckets' file sets identical, so the head's list for
-    // them equals the base's.
-    val commitFiles =
-      if (morMode) snap.filesForBuckets(touched) ++ written else written
-    try table.commitDeltaRebasing(snap, newSchemaId, touched, commitFiles,
-      summaryFor,
-      eligible = head =>
-        head.summary.get(gateKey).forall(_.toLong < epoch))
+    // MoR publishes via FAST-APPEND (commitDeltaAppending): the delta is
+    // a pure function of the batch, so a lost race re-points it at ANY
+    // compatible head — one metadata recompute, never a batch re-run,
+    // even against rivals that touched the same buckets. CoW publishes
+    // via the optimistic REBASE, which requires the rival provably
+    // disjoint (the CoW files are a post-image of the buckets they
+    // resolved against). Both veto on an advanced exactly-once gate.
+    val gateOk: Snapshot => Boolean =
+      head => head.summary.get(gateKey).forall(_.toLong < epoch)
+    try {
+      if (morMode)
+        table.commitDeltaAppending(snap, newSchemaId, touched, written,
+          summaryFor, eligible = gateOk)
+      else
+        table.commitDeltaRebasing(snap, newSchemaId, touched, written,
+          summaryFor, eligible = gateOk)
+    }
     catch { case e: Throwable =>
       // losing the commit race AFTER the dead-letter write: remove this
       // attempt's quarantine partition so a caller's retry at a fresh

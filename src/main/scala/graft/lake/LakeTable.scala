@@ -688,6 +688,55 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     sys.error("unreachable")
   }
 
+  /** Additive commit with FAST-APPEND race recovery — the merge-on-read
+    * publish. A MoR delta is a pure function of its BATCH (the write
+    * path never read table state), so the correct post-image on ANY
+    * compatible head is simply `head's files + newFiles`: losing the
+    * version race costs ONE metadata recompute, never a batch re-run —
+    * regardless of whether the rival touched our buckets. Rivals that
+    * compacted/purged our buckets are fine (our layers stack over the
+    * new bases and the argmax is unchanged); a rival truncate/rollback
+    * linearizes BEFORE this batch (commit order is the serialization
+    * order, so "the batch arrived after the surgery" is the correct
+    * history). The only refusals, rethrown to the caller's full retry:
+    *  - `numBuckets` changed (our per-bucket layout is stale — the full
+    *    retry re-buckets the batch);
+    *  - the caller's `eligible` veto (exactly-once gate advanced);
+    *  - `maxRetries` chained losses (livelock guard).
+    * `schemaId` commits at max(ours, head's) so a rival evolution is
+    * never regressed; our older-schema layers align on read like any
+    * old file. `summaryFor`/`filesFor` re-derive from each head so
+    * lineage and the carried file set always match the snapshot
+    * actually built on.
+    */
+  def commitDeltaAppending(base0: Snapshot, schemaId: Int,
+      touchedBuckets: Set[Int], newFiles: Seq[DataFile],
+      summaryFor: Snapshot => Map[String, String],
+      eligible: Snapshot => Boolean = _ => true,
+      maxRetries: Int = 10): Snapshot = {
+    var base = base0
+    var lost = 0
+    while (true) {
+      try return commitDelta(base, base.version + 1,
+        math.max(schemaId, base.schemaId), touchedBuckets,
+        base.filesForBuckets(touchedBuckets) ++ newFiles, summaryFor(base))
+      catch { case e: IllegalStateException
+          if String.valueOf(e.getMessage).contains("concurrent commit lost") =>
+        val head = currentSnapshot
+        val ok = lost < maxRetries &&
+          head.version > base.version &&
+          head.numBuckets == base.numBuckets &&
+          eligible(head)
+        if (!ok) throw e
+        lost += 1
+        LakeTable.commitRebases.incrementAndGet()
+        LakeTable.commitRaceBackoff(lost)
+        base = head
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Commit a FULL-table rewrite, optionally at a NEW bucket count
     * (bucket-count evolution — [[Maintenance.rebucket]]). `newFiles`
     * must be the complete live file set, already laid out under

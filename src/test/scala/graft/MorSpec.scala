@@ -207,6 +207,61 @@ class MorSpec extends AnyFunSuite {
     assert(userRows(t) == userRows(twin))
   }
 
+  test("a lost MoR commit race FAST-APPENDS on any head — even an " +
+      "INTERSECTING rival merge — with no batch re-run") {
+    val ev = log(2000).cache()
+    // rival writes the SAME key population: every bucket intersects —
+    // the CoW rebase would refuse this shape and force a full re-run
+    val outer = ev.filter(col("lsn") < 1000)
+    val rival = ev.filter(col("lsn") >= 1000)
+    val t = morTable("mor-race")
+    val twin = morTable("mor-race-twin")
+    Merge.applyBatch(spark, twin, rival, 1L, 3)
+    Merge.applyBatch(spark, twin, outer, 2L, 3)
+    val appends0 = LakeTable.commitRebases.get()
+    val rerun0 = Merge.commitRacesLost.get()
+    val noop: () => Unit = () => ()
+    Merge.beforeCommitHook = () => {
+      Merge.beforeCommitHook = noop
+      Merge.applyBatch(spark, t, rival, 1L, 3)
+    }
+    // direct applyBatch (no retry wrapper): success REQUIRES the
+    // fast-append — a plain lost race would throw out of this call
+    try Merge.applyBatch(spark, t, outer, 2L, 3)
+    finally Merge.beforeCommitHook = noop
+    ev.unpersist()
+    assert(LakeTable.commitRebases.get() > appends0,
+      "the intersecting race was not salvaged by fast-append")
+    assert(Merge.commitRacesLost.get() == rerun0, "a batch re-run happened")
+    assert(userRows(t) == userRows(twin),
+      "fast-append diverged from the serial twin")
+  }
+
+  test("a compaction landing inside the MoR commit window fast-appends " +
+      "too: the delta stacks over the freshly folded bases") {
+    val ev = log(2000).cache()
+    val parts = epochs(ev, 2)
+    val t = morTable("mor-race-fold")
+    Merge.applyBatch(spark, t, parts(0), 1L, 3)
+    val twin = morTable("mor-race-fold-twin")
+    Merge.applyBatch(spark, twin, parts(0), 1L, 3)
+    Merge.applyBatch(spark, twin, parts(1), 2L, 3)
+    val appends0 = LakeTable.commitRebases.get()
+    val noop: () => Unit = () => ()
+    Merge.beforeCommitHook = () => {
+      Merge.beforeCommitHook = noop
+      Maintenance.compact(spark, t) // folds epoch 1's layers mid-window
+    }
+    try Merge.applyBatch(spark, t, parts(1), 2L, 3)
+    finally Merge.beforeCommitHook = noop
+    ev.unpersist()
+    assert(LakeTable.commitRebases.get() > appends0)
+    assert(userRows(t) == userRows(twin))
+    // epoch 2's layers sit over the folded bases
+    assert(t.currentSnapshot.files.exists(_.delta))
+    assert(t.currentSnapshot.files.exists(f => !f.delta))
+  }
+
   test("streaming replication (graft-changelog -> graft-lake) over a MoR " +
       "source converges; the layered bucket-task path engages") {
     val ev = log(3000).cache()
