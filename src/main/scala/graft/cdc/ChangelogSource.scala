@@ -457,14 +457,21 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   private val opIdx = readBase.fieldIndex(graft.core.Schemas.OpCol)
   private val D = UTF8String.fromString("D")
 
-  // merge-on-read LAYERED bucket: either side carries delta files whose
-  // urls overlap the base (and each other), so that side must resolve
+  // merge-on-read LAYERED side: ≥2 files with a delta among them means
+  // urls can overlap across the layers, so that side must resolve
   // latest-wins per url BEFORE the diff — streaming layered rows through
   // the (url, _lsn) probe would emit superseded rows. Resolution is the
   // same (warc_ts, _lsn) argmax as LakeTable.resolveLatest, done in one
   // bucket-local hash map (a bucket is the unit the lake already sizes
   // to fit an executor; CDF mode holds before-side ROWS the same way).
-  private val layered = p.after.exists(_.delta) || p.before.exists(_.delta)
+  // A single-file side — a base, or one delta over nothing — has unique
+  // urls by construction and keeps the streaming path. Each side decides
+  // for itself (an unlayered after side must not pay the
+  // materialization just because the before side is layered).
+  private def needsResolve(fs: Seq[DataFile]): Boolean =
+    fs.size >= 2 && fs.exists(_.delta)
+  private val layeredAfter = needsResolve(p.after)
+  private val layeredBefore = needsResolve(p.before)
 
   /** v beats cur under the lake's latest-wins order. Equal (warc_ts,
     * _lsn) across layers means the same event re-published through
@@ -524,15 +531,16 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   locally {
     // layered non-CDF needs warc_ts for the in-map resolve ordering;
     // plain non-CDF keeps the narrow (url, _lsn) projection
-    val target = if (cdf) readBase else if (layered) StructType(
+    val target = if (cdf) readBase else if (layeredBefore) StructType(
       Seq(readBase("url"), readBase("warc_ts"),
         readBase(graft.core.Schemas.LsnCol)))
     else StructType(Seq(readBase("url"), readBase(graft.core.Schemas.LsnCol)))
     val (u, ts, l) =
-      if (cdf) (urlIdx, tsIdx, lsnIdx) else if (layered) (0, 1, 2) else (0, 1, 1)
+      if (cdf) (urlIdx, tsIdx, lsnIdx)
+      else if (layeredBefore) (0, 1, 2) else (0, 1, 1)
     try {
       val rows = p.before.iterator.flatMap(fileRows(_, target))
-      if (layered) resolveLayers(rows, u, ts, l).forEach { (url, v) =>
+      if (layeredBefore) resolveLayers(rows, u, ts, l).forEach { (url, v) =>
         beforeKeys.add((url, v(l).asInstanceOf[Long]))
         if (cdf) beforeRows.put(url, v)
       }
@@ -567,7 +575,7 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   private val rows: Iterator[InternalRow] = {
     val afterRaw = p.after.iterator.flatMap(fileRows(_, readBase))
     val after =
-      if (!layered) afterRaw
+      if (!layeredAfter) afterRaw
       else try {
         // materialize the after side's per-url winners (bucket-local,
         // bucket-sized); superseded layer rows must never reach the diff

@@ -487,10 +487,15 @@ object Merge {
         "quarantine-count" -> quarantined.toString,
         "touched-buckets" -> touched.size.toString) ++
         // MoR bookkeeping: running live-delta-file count (O(1) metadata
-        // for Maintenance.plan's fold trigger; compact/rebucket reset it)
+        // for Maintenance.plan's fold trigger; compact/rebucket reset it).
+        // A CoW FULL REWRITE replaces every bucket — all layers folded —
+        // so it resets the counter too; without that, a mor table whose
+        // oversized batch took the rewrite path would schedule one
+        // pointless compaction against already-folded debt.
         (if (morMode) Map("mor-delta-files" ->
           (base.summary.get("mor-delta-files").map(_.toLong).getOrElse(0L)
             + written.size).toString)
+        else if (fullRewrite) Map("mor-delta-files" -> "0")
         else Map.empty) ++
         // a truncate drops keys WITHOUT tombstones, so like a tombstone
         // purge it fences changesBetween ranges that cross it — a replica

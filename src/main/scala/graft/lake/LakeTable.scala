@@ -302,7 +302,15 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     if (fs.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), target)
-    val layeredBuckets = fs.iterator.filter(_.delta).map(_.bucket).toSet
+    // resolution is only needed where urls can OVERLAP: ≥2 files with a
+    // delta among them. A single-file bucket — a base, or one delta
+    // layer over nothing (the first MoR epoch into fresh buckets) — has
+    // unique urls by construction (every writer dedups per key) and
+    // keeps the plain scan + full pushdown.
+    val byBucket = fs.groupBy(_.bucket)
+    val layeredBuckets = byBucket.collect {
+      case (b, group) if group.size >= 2 && group.exists(_.delta) => b
+    }.toSet
     if (layeredBuckets.isEmpty) return scan(fs)
     val (layered, plain) = fs.partition(f => layeredBuckets.contains(f.bucket))
     val resolved = LakeTable.resolveLatest(scan(layered), target)
@@ -371,19 +379,17 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     val b = snapshot(to)
     if (from == -1) {
       // bootstrap plans one task per FILE — except merge-on-read layered
-      // buckets, whose files overlap by url and must resolve TOGETHER in
-      // one bucket task (emitting each layer separately would replay
-      // superseded rows into the replica)
-      val (layeredB, plain) = b.files.partition(_.delta) match {
-        case (d, rest) =>
-          val lb = d.map(_.bucket).toSet
-          (b.files.filter(f => lb.contains(f.bucket)).groupBy(_.bucket),
-            rest.filterNot(f => lb.contains(f.bucket)))
-      }
-      return plain.map(f => BucketChangeTask(f.bucket, Seq(f), Nil)) ++
-        layeredB.toSeq.sortBy(_._1).map { case (k, fs) =>
-          BucketChangeTask(k, fs, Nil)
-        }
+      // buckets (≥2 files with a delta among them), whose files overlap
+      // by url and must resolve TOGETHER in one bucket task (emitting
+      // each layer separately would replay superseded rows into the
+      // replica); a single-file bucket has unique urls by construction
+      val byBucket = b.files.groupBy(_.bucket)
+      val layered = byBucket.collect {
+        case (k, fs) if fs.size >= 2 && fs.exists(_.delta) => k
+      }.toSet
+      return b.files.filterNot(f => layered.contains(f.bucket))
+        .map(f => BucketChangeTask(f.bucket, Seq(f), Nil)) ++
+        layered.toSeq.sorted.map(k => BucketChangeTask(k, byBucket(k), Nil))
     }
     fencePurge(from, to, b)
     val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)

@@ -207,6 +207,28 @@ class MorSpec extends AnyFunSuite {
     assert(userRows(t) == userRows(twin))
   }
 
+  test("an oversized batch on a mor table takes the CoW full-rewrite " +
+      "path, folds every layer, and resets the fold counter") {
+    val ev = log(2000).cache()
+    val t = morTable("mor-big")
+    Merge.applyBatch(spark, t, ev.filter(col("lsn") < 200), 1L, 3)
+    assert(t.currentSnapshot.files.exists(_.delta))
+    assert(t.currentSnapshot.summary("mor-delta-files").toLong > 0)
+    // table-sized batch: rewriting IS cheaper — hint forces the CoW path
+    Merge.applyBatch(spark, t, ev.filter(col("lsn") >= 200), 2L, 3,
+      batchBytesHint = Some(1L << 60))
+    val s = t.currentSnapshot
+    assert(s.files.forall(!_.delta), "full rewrite left delta layers")
+    assert(s.summary("mor-delta-files") == "0",
+      "stale fold debt after a full rewrite — plan() would compact nothing")
+    val twin = LakeTable.create(spark, TestSpark.tempDir("mor-big-twin"),
+      schemaId = 3, numBuckets = 16)
+    Merge.applyBatch(spark, twin, ev.filter(col("lsn") < 200), 1L, 3)
+    Merge.applyBatch(spark, twin, ev.filter(col("lsn") >= 200), 2L, 3)
+    ev.unpersist()
+    assert(userRows(t) == userRows(twin))
+  }
+
   test("a lost MoR commit race FAST-APPENDS on any head — even an " +
       "INTERSECTING rival merge — with no batch re-run") {
     val ev = log(2000).cache()
