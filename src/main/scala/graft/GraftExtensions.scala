@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DotProduct(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FuseMd5Prefix)
+    // prune never-extracted payload fields out of the lake's latest-wins
+    // max(struct(...)) resolve (merge-on-read layers) — see the rule's
+    // doc for why the engine may assert prefix-decidedness. Runs in the
+    // operator-optimization fixed point so ColumnPruning carries the
+    // narrowing into the parquet ReadSchema.
+    ext.injectOptimizerRule(_ => graft.plans.PruneArgmaxStruct)
   }
 }
 

@@ -44,6 +44,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try run(spark, args.toSeq).foreach(println)

@@ -933,6 +933,13 @@ object LakeTable {
     * than a delete still cannot resurrect the key. One hash-agg exchange
     * over only the layered rows; map-side partial combine applies (≤
     * layers rows per url).
+    *
+    * The `_m` alias carries [[graft.plans.PruneArgmaxStruct.PrefixKey]] =
+    * 2: the (warc_ts, _lsn) prefix alone decides the max (`_lsn` is
+    * globally unique; an equal prefix across layers is the same event
+    * re-published, payload identical), so the injected optimizer rule may
+    * prune payload fields a narrow query never extracts — the scan under
+    * the resolve then stops reading `html` for a `SELECT url, lang`.
     */
   private[graft] def resolveLatest(df: DataFrame,
       target: StructType): DataFrame = {
@@ -940,8 +947,11 @@ object LakeTable {
     val payload = target.fields.map(_.name)
       .filterNot(c => c == "url" || orderCols.contains(c))
     val pack = orderCols ++ payload
+    val marker = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.plans.PruneArgmaxStruct.PrefixKey, orderCols.size.toLong)
+      .build()
     df.groupBy(col("url"))
-      .agg(max(struct(pack.map(col): _*)).as("_m"))
+      .agg(max(struct(pack.map(col): _*)).as("_m", marker))
       .select(target.fields.map(f =>
         if (f.name == "url") col("url")
         else col(s"_m.${f.name}").as(f.name)).toSeq: _*)

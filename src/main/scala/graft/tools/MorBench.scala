@@ -35,6 +35,7 @@ object MorBench {
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"mor-bench-$cpus")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -100,7 +101,23 @@ object MorBench {
     val (morSec, morRows) = timed(applyAll(tMor))
     require(tMor.currentSnapshot.files.exists(_.delta),
       "MOR twin wrote no delta layers")
+    // READ pricing on the layered state. Three shapes:
+    //  - full: an aggregate that genuinely needs the payload (sum of html
+    //    bytes) — the unavoidable full resolve tax;
+    //  - narrow (pruned): count() — with PruneArgmaxStruct the resolve
+    //    struct drops html/text and the scan stops decoding them;
+    //  - narrow (rule excluded): the same count with the rule disabled
+    //    via spark.sql.optimizer.excludedRules — the counterfactual.
+    import org.apache.spark.sql.functions.{col, octet_length, sum}
+    val (morReadFullSec, _) = timed(
+      tMor.readUser().agg(sum(octet_length(col("html")))).collect())
     val (morReadSec, morCount) = timed(tMor.readUser().count())
+    val ExcludeKey = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(ExcludeKey, "graft.plans.PruneArgmaxStruct")
+    val (morReadUnprunedSec, morCountUnpruned) =
+      try timed(tMor.readUser().count()) finally spark.conf.unset(ExcludeKey)
+    require(morCount == morCountUnpruned,
+      s"pruned read diverged: $morCount vs $morCountUnpruned")
     val (foldSec, _) = timed(Maintenance.compact(spark, tMor))
     val (cowReadSec, cowCount) = timed(tCow.readUser().count())
     require(morCount == cowCount,
@@ -108,7 +125,9 @@ object MorBench {
     println(f"MOR_APPLY_SEC $morSec%.2f COW_APPLY_SEC $cowSec%.2f " +
       f"SPEEDUP ${cowSec / morSec}%.1f MOR_ROWS $morRows COW_ROWS $cowRows " +
       f"AMP ${cowRows.toDouble / math.max(1L, morRows)}%.1f " +
-      f"MOR_READ_SEC $morReadSec%.2f FOLD_SEC $foldSec%.2f " +
+      f"MOR_READ_SEC $morReadSec%.2f " +
+      f"MOR_READ_UNPRUNED_SEC $morReadUnprunedSec%.2f " +
+      f"MOR_READ_FULL_SEC $morReadFullSec%.2f FOLD_SEC $foldSec%.2f " +
       f"COW_READ_SEC $cowReadSec%.2f")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tMor.dir))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tCow.dir))

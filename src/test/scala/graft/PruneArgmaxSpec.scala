@@ -1,0 +1,100 @@
+package graft
+
+import graft.cdc.Merge
+import graft.core.ChangeGen
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.PruneArgmaxStruct]]: narrow reads over an UNCOMPACTED
+  * merge-on-read table must not decode the payload columns they never
+  * ask for. The layered buckets route through resolveLatest's
+  * max(struct(warc_ts, _lsn, payload…)) — without the rule, any query
+  * over them reads `html` (the dominant bytes) because Catalyst cannot
+  * prune inside an aggregate's struct. The rule prunes the struct to the
+  * order prefix + the fields actually extracted, and ColumnPruning then
+  * narrows the parquet ReadSchema. Every case checks BOTH the plan (no
+  * html/text in any scan) and the result (equal to the CoW twin).
+  */
+class PruneArgmaxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def log(n: Long = 3000): DataFrame =
+    ChangeGen.events(spark, ChangeGen.Config(nEvents = n, nDomains = 20,
+      pagesPerDomain = 10, v1Frac = 0.0, v2Frac = 0.0))
+
+  /** mor table + CoW twin, two epochs each so every touched bucket holds
+    * base + delta layers (the resolve path engages).
+    */
+  private def twins(prefix: String): (LakeTable, LakeTable) = {
+    val ev = log().cache()
+    val mor = LakeTable.create(spark, TestSpark.tempDir(prefix),
+      schemaId = 3, numBuckets = 8)
+    mor.updateProperties(Map("write-mode" -> "mor"))
+    val cow = LakeTable.create(spark, TestSpark.tempDir(s"$prefix-twin"),
+      schemaId = 3, numBuckets = 8)
+    Seq(mor, cow).foreach { t =>
+      Merge.applyBatch(spark, t, ev.filter(col("lsn") % 2 === 0), 1L, 3)
+      Merge.applyBatch(spark, t, ev.filter(col("lsn") % 2 === 1), 2L, 3)
+    }
+    ev.unpersist()
+    assert(mor.currentSnapshot.files.exists(_.delta),
+      "fixture must leave delta layers or the resolve path is not exercised")
+    (mor, cow)
+  }
+
+  /** The whole physical plan (incl. every scan's ReadSchema) as text. */
+  private def planText(df: DataFrame): String = {
+    df.collect() // AQE: finalize before inspecting
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("narrow projection over layered buckets prunes html/text out of " +
+      "the resolve struct and the scan, and matches the CoW twin") {
+    val (mor, cow) = twins("prune-narrow")
+    val narrow = mor.readUser().select("url", "lang")
+    val plan = planText(narrow)
+    assert(!plan.contains("html") && !plan.contains("text"),
+      s"narrow read still touches payload columns:\n$plan")
+    // the order prefix must survive the pruning (it decides the argmax)
+    assert(plan.contains("warc_ts") && plan.contains("_lsn"),
+      s"order prefix pruned out of the resolve:\n$plan")
+    def rows(t: LakeTable) = t.readUser().select("url", "lang")
+      .collect().map(_.toString).toSet
+    assert(rows(mor) == rows(cow))
+  }
+
+  test("count over a layered table reads no payload at all") {
+    val (mor, cow) = twins("prune-count")
+    val cnt = mor.readUser()
+    val n = cnt.count()
+    assert(n == cow.readUser().count())
+    val plan = cnt.groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("html") && !plan.contains("text"),
+      s"count still decodes payload:\n$plan")
+  }
+
+  test("full-width read keeps every payload field and stays " +
+      "byte-identical to the CoW twin") {
+    val (mor, cow) = twins("prune-full")
+    def all(t: LakeTable) = t.readUser()
+      .withColumn("html", md5(col("html")))
+      .collect().map(_.toString).toSet
+    assert(all(mor) == all(cow))
+    val plan = planText(mor.readUser())
+    assert(plan.contains("html"), "full read must still scan html")
+  }
+
+  test("a filter on a pruned-away column keeps that column (filter " +
+      "condition counts as a consumer)") {
+    val (mor, cow) = twins("prune-filter")
+    val q = mor.readUser().filter(length(col("text")) > 0).select("url")
+    val plan = planText(q)
+    assert(!plan.contains("html"), s"html not needed by filter or select:\n$plan")
+    def rows(t: LakeTable) = t.readUser()
+      .filter(length(col("text")) > 0).select("url")
+      .collect().map(_.toString).toSet
+    assert(rows(mor) == rows(cow))
+  }
+}

@@ -7,6 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
