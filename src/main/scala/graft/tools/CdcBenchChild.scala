@@ -46,6 +46,11 @@ object CdcBenchChild {
       // and its per-stage driver barriers cost the 8-core level ~7%
       // wall (measured). Ad-hoc queries keep AQE on (Bench main session).
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "false"))
+      // lake-write parquet codec A/B knob (default = Spark's snappy);
+      // affects only the merge's data-file writes — the input log stays
+      // whatever the generator wrote
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
