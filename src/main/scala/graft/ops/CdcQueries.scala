@@ -37,6 +37,7 @@ object CdcQueries {
   private lazy val cdfDir: String = lakeDir("cdf")
   private lazy val rebaseDir: String = lakeDir("rebase")
   private lazy val morDir: String = lakeDir("mor")
+  private lazy val morNarrowDir: String = lakeDir("mor-narrow")
 
   /** Wiped per call (idempotent reruns in one session), deleted at exit. */
   private def fresh(dir: String): String = {
@@ -236,6 +237,50 @@ object CdcQueries {
       Some("""SELECT 'user:' || user_id AS user_key, ts AS last_ts,
              |       props AS last_props, event_type AS last_type,
              |       CAST(floor(value) AS BIGINT) AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
+
+    // NARROW read over the layered MoR table: two epochs leave delta
+    // layers, then a 2-column projection is returned. The query THROWS
+    // unless graft.plans.PruneArgmaxStruct rewrote the resolve's
+    // max(struct(...)) to drop the never-extracted payload columns
+    // (text/content_len/html), so the driver's green row pins BOTH the
+    // pruned plan shape (narrow reads over layered buckets never decode
+    // payload) and its result against the narrow DuckDB argmax oracle.
+    QueryDef(
+      "cdc_mor_narrow",
+      (s, dir) => {
+        val log = asChangeLog(s, dir).cache()
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val t = LakeTable.create(s, fresh(morNarrowDir), schemaId = 3,
+          numBuckets = 8)
+        t.updateProperties(Map("write-mode" -> "mor"))
+        Seq(log.filter(col("lsn") <= maxLsn / 2),
+          log.filter(col("lsn") > maxLsn / 2)).zipWithIndex.foreach {
+          case (batch, epoch) =>
+            Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+        }
+        log.unpersist()
+        require(t.currentSnapshot.files.exists(_.delta),
+          "cdc_mor_narrow: no delta layers — merge-on-read did not engage")
+        val narrow = t.readUser().select(
+          col("url").as("user_key"), col("lang").as("last_type"))
+        val structs = narrow.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.aggregateExpressions.flatMap(_.collect {
+              case st: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+                st.names.map(_.toString)
+            })
+        }.flatten
+        require(structs.nonEmpty,
+          "cdc_mor_narrow: no resolve argmax in the plan — nothing was layered")
+        require(structs.forall(n => !n.contains("text")),
+          s"cdc_mor_narrow: resolve struct still carries pruned columns " +
+            s"($structs) — PruneArgmaxStruct did not fire")
+        narrow
+      },
+      Some("""SELECT 'user:' || user_id AS user_key, event_type AS last_type
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
              |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
