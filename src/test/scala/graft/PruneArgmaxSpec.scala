@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.Merge
 import graft.core.ChangeGen
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, Maintenance}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -84,6 +84,65 @@ class PruneArgmaxSpec extends AnyFunSuite {
     assert(all(mor) == all(cow))
     val plan = planText(mor.readUser())
     assert(plan.contains("html"), "full read must still scan html")
+  }
+
+  test("pruned narrow read across a mid-stack schema evolution (v2 INT " +
+      "bases under v3 LONG deltas) stays correct and payload-free") {
+    def build(prefix: String): LakeTable = {
+      val t = LakeTable.create(spark, TestSpark.tempDir(prefix),
+        schemaId = 2, numBuckets = 8)
+      t.updateProperties(Map("write-mode" -> "mor"))
+      val all = ChangeGen.events(spark, ChangeGen.Config(nEvents = 800,
+        nDomains = 10, pagesPerDomain = 8, v1Frac = 0.0, v2Frac = 0.0))
+      val b1 = ChangeGen.projectToVersion(all.filter(col("lsn") < 600), 2)
+      Merge.applyBatch(spark, t, b1, 1L, batchSchemaVersion = 2)
+      Merge.applyBatch(spark, t, all.filter(col("lsn") >= 600), 2L,
+        batchSchemaVersion = 3)
+      t
+    }
+    val mor = build("prune-evo")
+    assert(mor.currentSnapshot.schemaId == 3 &&
+      mor.currentSnapshot.files.exists(_.delta))
+    // content_len survives the prune (it is asked for, and v2 files cast
+    // INT→LONG below the resolve agg); html/text go
+    val narrow = mor.readUser().select("url", "content_len")
+    val plan = planText(narrow)
+    assert(!plan.contains("html") && !plan.contains("text"),
+      s"evolved narrow read still touches payload:\n$plan")
+    val cow = build("prune-evo-cow")
+    cow.updateProperties(Map("write-mode" -> "cow")) // no-op: built mor…
+    Maintenance.compact(spark, cow) // …then folded — a resolved twin
+    def rows(t: LakeTable) = t.readUser().select("url", "content_len")
+      .collect().map(_.toString).toSet
+    assert(rows(mor) == rows(cow))
+  }
+
+  test("mixed plain + layered buckets (a Union of both branches) prune " +
+      "on the layered side and stay correct") {
+    val ev = log().cache()
+    val mor = LakeTable.create(spark, TestSpark.tempDir("prune-mix"),
+      schemaId = 3, numBuckets = 32)
+    mor.updateProperties(Map("write-mode" -> "mor"))
+    val cow = LakeTable.create(spark, TestSpark.tempDir("prune-mix-twin"),
+      schemaId = 3, numBuckets = 32)
+    Seq(mor, cow).foreach { t =>
+      Merge.applyBatch(spark, t, ev, 1L, 3)
+      // a tiny second batch touches FEW of the 32 buckets: the rest stay
+      // single-file (plain branch), the touched ones layer (resolve branch)
+      Merge.applyBatch(spark, t, ev.filter(col("lsn") < 40), 2L, 3)
+    }
+    ev.unpersist()
+    val layered = mor.currentSnapshot.files.groupBy(_.bucket)
+      .count { case (_, fs) => fs.size >= 2 && fs.exists(_.delta) }
+    assert(layered > 0 && layered < 32,
+      s"fixture must leave a MIX of plain and layered buckets, got $layered/32")
+    val narrow = mor.readUser().select("url", "lang")
+    val plan = planText(narrow)
+    assert(!plan.contains("html") && !plan.contains("text"),
+      s"mixed-shape narrow read still touches payload:\n$plan")
+    def rows(t: LakeTable) = t.readUser().select("url", "lang")
+      .collect().map(_.toString).toSet
+    assert(rows(mor) == rows(cow))
   }
 
   test("a filter on a pruned-away column keeps that column (filter " +
