@@ -211,15 +211,6 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
 
   private def table: LakeTable = LakeTable.load(spark, dir)
 
-  /** The row schema the readers materialize from the lake files: the
-    * declared schema itself, except in CDF mode, where the feed columns
-    * replace `_op` — readers still need `_op` to classify transitions.
-    */
-  private val readBase: StructType =
-    if (!cdf) declared
-    else StructType(declared.fields.dropRight(2) :+
-      StructField(graft.core.Schemas.OpCol, StringType, nullable = true))
-
   /** Schema id captured when `load()` resolved the declared schema (see
     * [[GraftChangelogProvider.getTable]]) — the evolution guard compares
     * against THIS, so a user-narrowed `.schema(...)` does not trip it,
@@ -331,7 +322,7 @@ private[cdc] final class ChangelogMicroBatchStream(declared: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangelogReaderFactory(readBase.json, declared.json, cdf,
+    new ChangelogReaderFactory(declared.json, cdf,
       ParquetRowCodec.hadoopConfDelta(spark))
 
   override def deserializeOffset(json: String): Offset =
@@ -426,14 +417,17 @@ private[cdc] final case class ChangelogPartition(bucket: Int,
     after: Seq[DataFile], before: Seq[DataFile], commitVersion: Int)
   extends InputPartition
 
-private[cdc] final class ChangelogReaderFactory(readBaseJson: String,
-    declaredJson: String, cdf: Boolean,
+/** Shared by the streaming micro-batch stream and the batch
+  * [[BucketBatchScan]] — `output` is the (possibly column-pruned) schema
+  * the reader must EMIT; the reader derives the parquet read set itself.
+  */
+private[cdc] final class ChangelogReaderFactory(outputJson: String,
+    cdf: Boolean,
     hadoopConfDelta: Seq[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangelogPartitionReader(
       partition.asInstanceOf[ChangelogPartition],
-      DataType.fromJson(readBaseJson).asInstanceOf[StructType],
-      DataType.fromJson(declaredJson).asInstanceOf[StructType], cdf,
+      DataType.fromJson(outputJson).asInstanceOf[StructType], cdf,
       hadoopConfDelta)
 }
 
@@ -444,34 +438,89 @@ private[cdc] final class ChangelogReaderFactory(readBaseJson: String,
   * before-side KEYS for after-image mode and the before-side ROWS for
   * CDF — one bucket's worth, the unit the lake already sizes to fit an
   * executor (a merge rewrites whole buckets).
+  *
+  * Column pruning (round-6): `output` is whatever projection the caller
+  * needs — the full declared schema on the streaming path, or the
+  * pruned schema DSv2 pushed down on the batch path. The parquet read
+  * set is `output`'s data columns plus only the internals the diff /
+  * layer-resolve itself consumes (url + _lsn always; warc_ts only when
+  * a side is layered or asked for; _op only in CDF mode or when asked
+  * for) — so a narrow read over layered buckets never decodes `html`,
+  * with no optimizer rule in the loop.
   */
 private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
-    readBase: StructType, declared: StructType, cdf: Boolean,
+    output: StructType, cdf: Boolean,
     hadoopConfDelta: Seq[(String, String)])
   extends PartitionReader[InternalRow] {
 
   private val conf = ParquetRowCodec.confFrom(hadoopConfDelta)
-  private val urlIdx = readBase.fieldIndex("url")
-  private val tsIdx = readBase.fieldIndex("warc_ts")
-  private val lsnIdx = readBase.fieldIndex(graft.core.Schemas.LsnCol)
-  private val opIdx = readBase.fieldIndex(graft.core.Schemas.OpCol)
-  private val D = UTF8String.fromString("D")
 
-  // merge-on-read LAYERED side: ≥2 files with a delta among them means
-  // urls can overlap across the layers, so that side must resolve
-  // latest-wins per url BEFORE the diff — streaming layered rows through
-  // the (url, _lsn) probe would emit superseded rows. Resolution is the
-  // same (warc_ts, _lsn) argmax as LakeTable.resolveLatest, done in one
-  // bucket-local hash map (a bucket is the unit the lake already sizes
-  // to fit an executor; CDF mode holds before-side ROWS the same way).
-  // A single-file side — a base, or one delta over nothing — has unique
-  // urls by construction and keeps the streaming path. Each side decides
-  // for itself (an unlayered after side must not pay the
-  // materialization just because the before side is layered).
+  /** merge-on-read LAYERED side: ≥2 files with a delta among them means
+    * urls can overlap across the layers — see the resolve notes below.
+    */
   private def needsResolve(fs: Seq[DataFile]): Boolean =
     fs.size >= 2 && fs.exists(_.delta)
   private val layeredAfter = needsResolve(p.after)
   private val layeredBefore = needsResolve(p.before)
+
+  /** `output`'s data columns (CDF's `_change_type`/`_commit_version` are
+    * generated by this reader, never read from parquet).
+    */
+  private val outputBase: Array[StructField] =
+    output.fields.filterNot(f =>
+      cdf && (f.name == "_change_type" || f.name == "_commit_version"))
+
+  /** Rows materialized from the after side: the output's data columns
+    * plus whatever the diff/resolve itself needs. Internals are appended
+    * AFTER the output columns, so when nothing was pruned (the streaming
+    * path) the emission below is an identity pass-through.
+    */
+  private val readTarget: StructType = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val have = outputBase.map(_.name).toSet
+    val internals = Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("warc_ts", TimestampType, nullable = false),
+      StructField(graft.core.Schemas.LsnCol, LongType),
+      StructField(graft.core.Schemas.OpCol, StringType))
+      .filterNot(f => have.contains(f.name))
+      .filter {
+        case f if f.name == "warc_ts" => layeredAfter || layeredBefore
+        case f if f.name == graft.core.Schemas.OpCol => cdf
+        case _ => true
+      }
+    StructType(outputBase.toSeq ++ internals)
+  }
+  private val urlIdx = readTarget.fieldIndex("url")
+  private val tsIdx =
+    if (readTarget.fieldNames.contains("warc_ts"))
+      readTarget.fieldIndex("warc_ts") else -1
+  private val lsnIdx = readTarget.fieldIndex(graft.core.Schemas.LsnCol)
+  private val opIdx =
+    if (cdf) readTarget.fieldIndex(graft.core.Schemas.OpCol) else -1
+  private val D = UTF8String.fromString("D")
+
+  /** output ordinal → readTarget ordinal; -1 = `_change_type`,
+    * -2 = `_commit_version` (generated).
+    */
+  private val outProj: Array[Int] = output.fields.map {
+    case f if cdf && f.name == "_change_type" => -1
+    case f if cdf && f.name == "_commit_version" => -2
+    case f => readTarget.fieldIndex(f.name)
+  }
+  // outputBase is a prefix of readTarget by construction, so equal
+  // lengths ⇒ the projection is the identity (no per-row copy)
+  private val identityProj = !cdf && output.length == readTarget.length
+
+  // (layeredAfter/layeredBefore are defined above readTarget: a side
+  // must resolve latest-wins per url BEFORE the diff — streaming layered
+  // rows through the (url, _lsn) probe would emit superseded rows.
+  // Resolution is the same (warc_ts, _lsn) argmax as
+  // LakeTable.resolveLatest, done in one bucket-local hash map (a bucket
+  // is the unit the lake already sizes to fit an executor; CDF mode
+  // holds before-side ROWS the same way). A single-file side — a base,
+  // or one delta over nothing — has unique urls by construction and
+  // keeps the streaming path. Each side decides for itself.)
 
   /** v beats cur under the lake's latest-wins order. Equal (warc_ts,
     * _lsn) across layers means the same event re-published through
@@ -523,24 +572,29 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
       }
     }
 
-  // before side: keys always; full rows only for CDF legs. A throw
-  // mid-drain must not leak the current file's reader.
+  // before side: keys always; full rows only for CDF legs (read with the
+  // same pruned readTarget as the after side — preimages only need the
+  // output's data columns). A throw mid-drain must not leak the current
+  // file's reader.
   private val beforeKeys = new java.util.HashSet[(String, Long)]()
   private val beforeRows: java.util.HashMap[String, Array[Any]] =
     if (cdf) new java.util.HashMap[String, Array[Any]]() else null
   locally {
     // layered non-CDF needs warc_ts for the in-map resolve ordering;
     // plain non-CDF keeps the narrow (url, _lsn) projection
-    val target = if (cdf) readBase else if (layeredBefore) StructType(
-      Seq(readBase("url"), readBase("warc_ts"),
-        readBase(graft.core.Schemas.LsnCol)))
-    else StructType(Seq(readBase("url"), readBase(graft.core.Schemas.LsnCol)))
-    val (u, ts, l) =
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val url = StructField("url", StringType, nullable = false)
+    val ts = StructField("warc_ts", TimestampType, nullable = false)
+    val lsn = StructField(graft.core.Schemas.LsnCol, LongType)
+    val target = if (cdf) readTarget
+      else if (layeredBefore) StructType(Seq(url, ts, lsn))
+      else StructType(Seq(url, lsn))
+    val (u, t, l) =
       if (cdf) (urlIdx, tsIdx, lsnIdx)
       else if (layeredBefore) (0, 1, 2) else (0, 1, 1)
     try {
       val rows = p.before.iterator.flatMap(fileRows(_, target))
-      if (layeredBefore) resolveLayers(rows, u, ts, l).forEach { (url, v) =>
+      if (layeredBefore) resolveLayers(rows, u, t, l).forEach { (url, v) =>
         beforeKeys.add((url, v(l).asInstanceOf[Long]))
         if (cdf) beforeRows.put(url, v)
       }
@@ -554,26 +608,31 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
 
   private def alive(v: Array[Any]): Boolean = v(opIdx) != D
 
-  // declared CDF columns = readBase minus _op (same order) + legs
-  private val cdfBaseIdx: Array[Int] =
-    if (cdf) declared.fields.dropRight(2).map(f => readBase.fieldIndex(f.name))
-    else Array.empty
   private val UpdPre = UTF8String.fromString("update_preimage")
   private val UpdPost = UTF8String.fromString("update_postimage")
   private val Ins = UTF8String.fromString("insert")
   private val Del = UTF8String.fromString("delete")
 
-  private def cdfRow(v: Array[Any], changeType: UTF8String): InternalRow = {
-    val out = new Array[Any](cdfBaseIdx.length + 2)
+  /** One emitted row: `output`'s projection of a readTarget row, feed
+    * columns generated (`changeType` null on the after-image path).
+    */
+  private def emit(v: Array[Any], changeType: UTF8String): InternalRow = {
+    if (identityProj) return new GenericInternalRow(v)
+    val out = new Array[Any](outProj.length)
     var i = 0
-    while (i < cdfBaseIdx.length) { out(i) = v(cdfBaseIdx(i)); i += 1 }
-    out(i) = changeType
-    out(i + 1) = p.commitVersion
+    while (i < outProj.length) {
+      out(i) = outProj(i) match {
+        case -1 => changeType
+        case -2 => p.commitVersion
+        case idx => v(idx)
+      }
+      i += 1
+    }
     new GenericInternalRow(out)
   }
 
   private val rows: Iterator[InternalRow] = {
-    val afterRaw = p.after.iterator.flatMap(fileRows(_, readBase))
+    val afterRaw = p.after.iterator.flatMap(fileRows(_, readTarget))
     val after =
       if (!layeredAfter) afterRaw
       else try {
@@ -587,15 +646,15 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
         (v(urlIdx).asInstanceOf[UTF8String].toString,
           v(lsnIdx).asInstanceOf[Long]))
     }
-    if (!cdf) moved.map(v => new GenericInternalRow(v): InternalRow)
+    if (!cdf) moved.map(v => emit(v, null))
     else moved.flatMap { a =>
       val pre = beforeRows.get(a(urlIdx).asInstanceOf[UTF8String].toString)
       val aliveA = alive(a)
       val aliveP = pre != null && alive(pre)
       if (aliveA && aliveP) // changed state on both sides: an update
-        Iterator(cdfRow(a, UpdPost), cdfRow(pre, UpdPre))
-      else if (aliveA) Iterator(cdfRow(a, Ins)) // incl. undelete
-      else if (aliveP) Iterator(cdfRow(pre, Del)) // before image payload
+        Iterator(emit(a, UpdPost), emit(pre, UpdPre))
+      else if (aliveA) Iterator(emit(a, Ins)) // incl. undelete
+      else if (aliveP) Iterator(emit(pre, Del)) // before image payload
       else Iterator.empty // tombstone-to-tombstone churn: no visible change
     }
   }

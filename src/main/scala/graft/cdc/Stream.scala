@@ -128,18 +128,165 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", "false")
       .parquet(logDir)
+
+    // ---- speculative next-batch prefetch (round-6, r5 verdict #3) ----
+    // The replay driver overlaps batch k+1's table-independent passes
+    // (narrow key argmax + full-payload winners scan — the dominant
+    // per-batch cost) with batch k's resolve+write; the streaming tail
+    // could not, because Spark owns batching — measured at 8 cores the
+    // tail ran ~1.0M events/s vs replay's ~1.7M on the same log, with
+    // ~97% of tail wall inside applyBatch (the fixed per-trigger cost is
+    // NOT the gap; the un-overlapped winners scan is). But the next
+    // trigger's file set is PREDICTABLE: the file source takes the
+    // oldest `maxFilesPerTrigger` not-yet-processed files (latestFirst =
+    // false). So after each batch we list the log, predict the next file
+    // set, and prepare keys+winners in the background — exactly the
+    // replay pipeline. SAFETY: the prepared plans are handed to the
+    // merge ONLY when the actual batch's `inputFiles` equals the
+    // predicted set exactly; a mispredicted prefetch (files landing out
+    // of modification-time order, a rival consumer) is discarded, never
+    // applied. A wrong prediction costs one wasted background scan; it
+    // can never change what the merge computes.
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    def listLogFiles(): Seq[(String, Long)] = { // (path, modTime)
+      val pat = new org.apache.hadoop.fs.Path(logDir)
+      val fs = pat.getFileSystem(hconf)
+      val roots = Option(fs.globStatus(pat)).map(_.toSeq).getOrElse(Nil)
+      roots.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(st => (st.getPath.toString, st.getModificationTime))
+    }
+    // the actual file set of a delivered batch comes from the file
+    // source's own metadata log under the checkpoint (sources/0/<id>,
+    // the v1 FileStreamSourceLog format — one JSON entry per admitted
+    // file, compacted every N batches into <id>.compact carrying the
+    // full history). foreachBatch's DataFrame does not expose
+    // inputFiles, and this log is the ground truth Spark itself replays
+    // from. Unreadable/format-drifted log ⇒ empty set ⇒ the prediction
+    // never matches and prefetch silently disables — never misapplies.
+    val srcLogDir = new org.apache.hadoop.fs.Path(checkpointDir, "sources/0")
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def logEntries(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) return Nil
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.linesIterator
+        .filter(l => l.nonEmpty && l.charAt(0) == '{').flatMap { l =>
+          try {
+            val n = jsonMapper.readTree(l)
+            Option((n.get("path").asText(), n.get("batchId").asLong()))
+          } catch { case _: Exception => None }
+        }.toSeq
+    }
+    def filesOfBatch(batchId: Long): Set[String] = {
+      val fs = srcLogDir.getFileSystem(hconf)
+      val plain = new org.apache.hadoop.fs.Path(srcLogDir, batchId.toString)
+      val p = if (fs.exists(plain)) plain
+        else new org.apache.hadoop.fs.Path(srcLogDir, s"$batchId.compact")
+      logEntries(p).filter(_._2 == batchId).map(e => norm(e._1)).toSet
+    }
+    val seen = scala.collection.mutable.HashSet[String]()
+    var seenInit = false
+    var predicted: Option[(Set[String], Future[_], (DataFrame, DataFrame))] =
+      None
+    var lastObs: Option[(Long, Long)] = None // (keys, bytes) of last applied
+    def dropPrediction(): Unit = {
+      predicted.foreach { case (_, _, (pk, win)) =>
+        pk.unpersist(); win.unpersist()
+      }
+      predicted = None
+    }
+    def prefetchNext(): Unit = {
+      // the source's order: oldest modification time first, path as the
+      // deterministic tiebreak. The equality gate above makes a mismatch
+      // with Spark's exact internal ordering harmless.
+      val next = listLogFiles().filterNot(f => seen.contains(norm(f._1)))
+        .sortBy { case (p, t) => (t, p) }
+        .take(maxFilesPerTrigger)
+      if (next.isEmpty) return
+      val paths = next.map(_._1)
+      val nextBatch = spark.read.schema(eventSchema).parquet(paths: _*)
+      val pk = Merge.prepareKeys(nextBatch).persist()
+      val bytes = {
+        val fs = new org.apache.hadoop.fs.Path(paths.head).getFileSystem(hconf)
+        paths.map(p => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(p)).getLen).sum
+      }
+      val keyEstimate = lastObs.collect { case (k, b) if b > 0 =>
+        math.ceil(k.toDouble * bytes / b).toLong
+      }
+      val win = Merge.prepareWinners(nextBatch, pk, keyEstimate).persist()
+      val fut = Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "prefetch")
+        try { pk.count(); win.count() }
+        finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
+      fut.failed.foreach { e =>
+        System.err.println("[graft] tail prefetch failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — next batch " +
+          "will recompute on the critical path")
+        pk.unpersist(); win.unpersist()
+      }
+      predicted = Some((paths.map(norm).toSet, fut, (pk, win)))
+    }
+
     // progress listener registered BEFORE start and bound by query name in
     // onQueryStarted (delivered synchronously with start()): registering
     // after start raced a fast first AvailableNow micro-batch, silently
     // dropping its progress line (round-2 advice)
     val queryName = s"graft-tail-${java.util.UUID.randomUUID().toString.take(8)}"
-    val remove = attachProgressSink(spark, queryName, tableDir)
+    val remove = attachProgressSink(spark, queryName, tableDir,
+      // a prediction left over when the query ends (stop mid-drain, a
+      // ProcessingTime follower shut down) must release its cached blocks
+      onTerminated = () => dropPrediction())
     try {
       events.writeStream
         .queryName(queryName)
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!seenInit) { // resumed checkpoint: recover processed files
+            seenInit = true
+            val fs = srcLogDir.getFileSystem(hconf)
+            if (fs.exists(srcLogDir)) fs.listStatus(srcLogDir).foreach { st =>
+              logEntries(st.getPath).filter(_._2 < batchId)
+                .foreach(e => seen += norm(e._1))
+            }
+          }
+          val files = filesOfBatch(batchId)
+          // hand the prepared plans over ONLY on an exact file-set match
+          // (and never from a prefetch that already failed — applyBatch
+          // would skip its own persist and re-run the scans per consumer)
+          val pk = predicted.collect {
+            case (pf, f, pair) if pf == files && !f.value.exists(_.isFailure) =>
+              pair
+          }
+          if (pk.isEmpty && predicted.nonEmpty) {
+            System.err.println(s"[graft] tail prefetch mispredicted batch " +
+              s"$batchId's file set — discarding (correctness unaffected)")
+            if (sys.env.contains("GRAFT_TAIL_DEBUG")) predicted.foreach {
+              case (pf, _, _) =>
+                System.err.println(s"[graft]   predicted-only: " +
+                  s"${(pf -- files).take(3)}\n[graft]   actual-only: " +
+                  s"${(files -- pf).take(3)} (pred=${pf.size} act=${files.size})")
+            }
+          }
+          if (pk.isEmpty) dropPrediction() // mispredicted: release, recompute
+          predicted = None // consumed either way; applyBatch unpersists
+          // launch batch k+1's prefetch BEFORE applying batch k — the
+          // replay pipeline's shape: the background scans (FAIR pool)
+          // overlap this batch's resolve+write, not the next batch's own
+          // critical path
+          seen ++= files
+          if (files.nonEmpty) prefetchNext()
           // Catalyst's size estimate lets the merge pick prune vs
           // full-rewrite without running a job
           val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -148,6 +295,7 @@ object CdcStream {
           val stats = Merge.applyBatchRetrying(batch.sparkSession, table, batch,
             epoch = batchId, batchSchemaVersion = schemaVersion,
             batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+            preparedKeys = pk.map(_._1), preparedWinners = pk.map(_._2),
             quarantineDir = quarantineDir,
             // production tail emits the north star's per-partition lineage
             partitionLineage = true,
@@ -156,10 +304,13 @@ object CdcStream {
             // a tail on a different checkpoint — cannot swallow a batch
             gateKey = gateKeyFor(checkpointDir))
           if (stats.applied) Metrics.append(tableDir, stats)
+          if (stats.applied)
+            lastObs = Some((stats.eventsIn - stats.conflicts,
+              math.max(1L, hint.min(BigInt(Long.MaxValue)).toLong)))
           ()
         }
         .start()
-    } catch { case e: Throwable => remove(); throw e }
+    } catch { case e: Throwable => remove(); dropPrediction(); throw e }
   }
 
   /** Pipe the named query's StreamingQueryProgress lines to the table's
@@ -168,7 +319,8 @@ object CdcStream {
     * would never match and the listener would leak).
     */
   private def attachProgressSink(spark: SparkSession,
-      queryName: String, tableDir: String): () => Unit = {
+      queryName: String, tableDir: String,
+      onTerminated: () => Unit = () => ()): () => Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val l = new StreamingQueryListener {
       // runId (not id): a restart from the same checkpoint keeps the query
@@ -184,7 +336,12 @@ object CdcStream {
           Metrics.appendStreamProgress(tableDir, e.progress.json)
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.runId == runId) spark.streams.removeListener(this)
+        if (e.runId == runId) {
+          try onTerminated()
+          catch { case t: Throwable => System.err.println(
+            s"[graft] tail cleanup failed: ${t.getMessage}") }
+          spark.streams.removeListener(this)
+        }
     }
     spark.streams.addListener(l)
     () => spark.streams.removeListener(l)

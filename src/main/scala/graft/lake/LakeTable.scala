@@ -313,7 +313,24 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     }.toSet
     if (layeredBuckets.isEmpty) return scan(fs)
     val (layered, plain) = fs.partition(f => layeredBuckets.contains(f.bucket))
-    val resolved = LakeTable.resolveLatest(scan(layered), target)
+    // Bucket-LOCAL resolve (round-6): the layered rows are already
+    // co-located by the lake's url-hash bucketing, so the latest-wins
+    // argmax runs in-task through the same reader the streaming
+    // changelog uses — ZERO exchanges, column pruning at the scan
+    // (narrow reads never decode html), vs the groupBy(url) hash-agg's
+    // one exchange over every layered row. `graft.mor.resolve = agg`
+    // keeps the old plan as an A/B escape hatch (and the
+    // PruneArgmaxStruct-optimized agg path it exercises).
+    val resolved =
+      if (spark.conf.getOption("graft.mor.resolve").contains("agg"))
+        LakeTable.resolveLatest(scan(layered), target)
+      else {
+        val tasks = layered.groupBy(_.bucket).toSeq.sortBy(_._1).map {
+          case (b, group) => BucketChangeTask(b, group, Nil)
+        }
+        graft.cdc.BucketBatchScan.dataFrame(spark, tasks, target,
+          cdf = false, commitVersion = s.version, numBuckets = s.numBuckets)
+      }
     if (plain.isEmpty) resolved else scan(plain).unionByName(resolved)
   }
 
@@ -353,13 +370,14 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     // — it emits the complete to-state, not a delta across the purge
     if (from == -1) return read(b)
     fencePurge(from, to, b)
-    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
-    val after = readBuckets(b, changedBuckets)
-    if (from == to || changedBuckets.isEmpty) return after.limit(0)
-    val before = readBuckets(snapshot(from), changedBuckets)
-      .select(col("url"), col(graft.core.Schemas.LsnCol))
-    after.join(before, Seq("url", graft.core.Schemas.LsnCol), "left_anti")
-      .select(after.columns.map(col).toSeq: _*)
+    // round-6: the diff RUNS ON the task form ([[changeFileTasks]]) —
+    // one bucket-local (url, _lsn) probe per changed bucket, zero
+    // exchanges — instead of the former two-exchange anti-join plan.
+    // The batch and streaming changelogs now execute identically.
+    val tasks = if (from == to) Nil else diffTasks(snapshot(from), b)
+    if (tasks.isEmpty) return readFiles(b, Nil) // schema-correct empty
+    graft.cdc.BucketBatchScan.dataFrame(spark, tasks, schemaFor(b.schemaId),
+      cdf = false, commitVersion = to, numBuckets = b.numBuckets)
   }
 
   /** [[changesBetween]] as a FILE-LEVEL plan — the DSv2 streaming
@@ -392,11 +410,36 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
         layered.toSeq.sorted.map(k => BucketChangeTask(k, byBucket(k), Nil))
     }
     fencePurge(from, to, b)
-    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
-    if (from == to || changedBuckets.isEmpty) return Nil
+    if (from == to) return Nil
+    diffTasks(snapshot(from), b)
+  }
+
+  /** One change-scan task per changed bucket between two validated
+    * snapshots (the shared body of [[changeFileTasks]] and the batch
+    * [[changesBetween]]/[[changesBetweenCdf]] plans).
+    */
+  private def diffTasks(a: Snapshot, b: Snapshot): Seq[BucketChangeTask] = {
+    val (changedBuckets, _) = changedBucketsBetween(a, b)
+    if (changedBuckets.isEmpty) return Nil
     val afterByBucket = b.filesForBuckets(changedBuckets).groupBy(_.bucket)
-    val beforeByBucket =
-      snapshot(from).filesForBuckets(changedBuckets).groupBy(_.bucket)
+    // a REBUCKET inside the range re-keyed every row's bucket: the
+    // per-bucket co-location the task diff relies on is void (a row in
+    // after-bucket 13 of 64 lived in before-bucket 5 of 8), so each
+    // after-bucket task probes the FULL before-side key set. O(table
+    // keys) per task instead of O(bucket) — the honest price of a
+    // changelog crossing an all-rows-moved rewrite, which is already a
+    // full-table diff at the file level; it yields zero rows (a rebucket
+    // moves files, never rows). Uncovered by the round-6 batch/streaming
+    // convergence: the FORMER batch anti-join handled this shape, the
+    // task form (and the streaming source, from day one) paired buckets
+    // by id across different bucket counts and emitted superseded rows.
+    if (a.numBuckets != b.numBuckets) {
+      val allBefore = a.files
+      return changedBuckets.toSeq.sorted
+        .filter(afterByBucket.contains) // no after files ⇒ nothing to emit
+        .map(k => BucketChangeTask(k, afterByBucket(k), allBefore))
+    }
+    val beforeByBucket = a.filesForBuckets(changedBuckets).groupBy(_.bucket)
     changedBuckets.toSeq.sorted.map { k =>
       BucketChangeTask(k, afterByBucket.getOrElse(k, Nil),
         beforeByBucket.getOrElse(k, Nil))
@@ -476,57 +519,34 @@ final class LakeTable private (val dir: String, spark: SparkSession) {
     * invariant).
     */
   def changesBetweenCdf(from: Int, to: Int): DataFrame = {
-    import graft.core.Schemas.{LsnCol, OpCol}
+    import graft.core.Schemas.OpCol
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
     validateChangeRange(from, to)
     val b = snapshot(to)
-    val ver = lit(to).as("_commit_version")
     if (from == -1)
       return read(b).filter(col(OpCol) =!= "D").drop(OpCol)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(to))
     fencePurge(from, to, b)
-    val (changedBuckets, _) = changedBucketsBetween(snapshot(from), b)
-    val after = readBuckets(b, changedBuckets)
-    def emptyCdf = after.limit(0).drop(OpCol)
-      .withColumn("_change_type", lit(""))
-      .withColumn("_commit_version", lit(to))
-      .limit(0)
-    if (from == to || changedBuckets.isEmpty) return emptyCdf
-    // align the before side to the TO schema: a schema evolution inside
-    // the range leaves `from` at an older registry version (missing
-    // columns null-backfill, narrow types widen), and preimages must
-    // carry the feed's declared columns like every other emission
-    val before = LakeTable.align(
-      readBuckets(snapshot(from), changedBuckets), after.schema)
-    val cols = after.columns
-    // net-new (url, _lsn) rows of `to` = every key whose state moved
-    val moved = after.join(before.select(col("url"), col(LsnCol)),
-      Seq("url", LsnCol), "left_anti")
-      .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_a"))
-    // LEFT OUTER from moved pulls exactly the moved keys' before rows —
-    // ≤1 per url by the latest-state invariant
-    val pre = before
-      .select(col("url").as("_u"), struct(cols.map(col).toSeq: _*).as("_p"))
-    val j = moved.join(pre, Seq("_u"), "left_outer")
-    val aliveA = col(s"_a.$OpCol") =!= "D"
-    val aliveP = col("_p").isNotNull && col(s"_p.$OpCol") =!= "D"
-    // ONE pass over the join (a union of two selects would evaluate the
-    // whole moved⋈pre subtree — and its changed-bucket scans — twice):
-    // each joined row explodes into its post-side emission and, for
-    // updates, the preimage; null-typed legs filter out (tombstone churn
-    // emits neither)
-    val postRow = when(!aliveA && aliveP, col("_p")).otherwise(col("_a"))
-    val postType = when(aliveA && aliveP, "update_postimage")
-      .when(aliveA, "insert")
-      .when(aliveP, "delete")
-      .otherwise(null)
-    val preType = when(aliveA && aliveP, "update_preimage").otherwise(null)
-    j.select(explode(array(
-        struct(postRow.as("_row"), postType.as("_change_type")),
-        struct(col("_p").as("_row"), preType.as("_change_type")))).as("_e"))
-      .filter(col("_e._change_type").isNotNull)
-      .select(cols.filterNot(_ == OpCol).map(c => col(s"_e._row.$c")).toSeq
-        :+ col("_e._change_type").as("_change_type") :+ ver: _*)
+    // feed shape: the TO schema's data columns (before rows align to it
+    // per file — a schema evolution inside the range null-backfills /
+    // widens preimages like every other emission), `_op` replaced by the
+    // transition legs
+    val cdfSchema = StructType(
+      schemaFor(b.schemaId).fields.filterNot(_.name == OpCol).toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_version", IntegerType, nullable = false))
+    // round-6: the diff + transition classification run on the task form
+    // — one bucket-local probe per changed bucket with the legs emitted
+    // in-task, zero exchanges (the former plan paid an anti-join + outer
+    // join + explode over the changed buckets). Identical to what the
+    // streaming CDF source always executed.
+    val tasks = if (from == to) Nil else diffTasks(snapshot(from), b)
+    if (tasks.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), cdfSchema)
+    graft.cdc.BucketBatchScan.dataFrame(spark, tasks, cdfSchema,
+      cdf = true, commitVersion = to, numBuckets = b.numBuckets)
   }
 
   /** Latest version whose commit wall-clock is at or before `tsMillis`

@@ -242,12 +242,15 @@ object CdcQueries {
              |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)),
 
     // NARROW read over the layered MoR table: two epochs leave delta
-    // layers, then a 2-column projection is returned. The query THROWS
-    // unless graft.plans.PruneArgmaxStruct rewrote the resolve's
-    // max(struct(...)) to drop the never-extracted payload columns
-    // (text/content_len/html), so the driver's green row pins BOTH the
-    // pruned plan shape (narrow reads over layered buckets never decode
-    // payload) and its result against the narrow DuckDB argmax oracle.
+    // layers, then a 2-column projection is returned. Round-6: the
+    // layered resolve runs bucket-LOCAL through the GraftBucketScan task
+    // form (no groupBy(url) exchange), with column pruning at the scan.
+    // The query THROWS unless (a) the plan's resolve scan was pruned to
+    // EXACTLY the asked-for columns (url, lang, _op — never html/text/
+    // content_len, the payload bytes the pruning exists to skip), and
+    // (b) the physical plan contains NO exchange at all — so the
+    // driver's green row pins BOTH the shuffle-free pruned plan shape
+    // and its result against the narrow DuckDB argmax oracle.
     QueryDef(
       "cdc_mor_narrow",
       (s, dir) => {
@@ -266,18 +269,20 @@ object CdcQueries {
           "cdc_mor_narrow: no delta layers — merge-on-read did not engage")
         val narrow = t.readUser().select(
           col("url").as("user_key"), col("lang").as("last_type"))
-        val structs = narrow.queryExecution.optimizedPlan.collect {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-            a.aggregateExpressions.flatMap(_.collect {
-              case st: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
-                st.names.map(_.toString)
-            })
-        }.flatten
-        require(structs.nonEmpty,
-          "cdc_mor_narrow: no resolve argmax in the plan — nothing was layered")
-        require(structs.forall(n => !n.contains("text")),
-          s"cdc_mor_narrow: resolve struct still carries pruned columns " +
-            s"($structs) — PruneArgmaxStruct did not fire")
+        val scanCols = narrow.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.scan.description().startsWith("GraftBucketScan") =>
+            r.scan.readSchema().fieldNames.toSet
+        }
+        require(scanCols.nonEmpty,
+          "cdc_mor_narrow: no bucket-local resolve scan in the plan — " +
+            "nothing was layered")
+        require(scanCols.forall(_ == Set("url", "lang", graft.core.Schemas.OpCol)),
+          s"cdc_mor_narrow: resolve scan not pruned to exactly " +
+            s"(url, lang, _op) — got $scanCols")
+        require(!narrow.queryExecution.executedPlan.toString.contains("Exchange"),
+          "cdc_mor_narrow: the narrow MoR read plans an exchange — the " +
+            "bucket-local resolve did not engage")
         narrow
       },
       Some("""SELECT 'user:' || user_id AS user_key, event_type AS last_type

@@ -752,18 +752,25 @@ object SimilarityQueries {
               .join(labels.withColumnRenamed("doc_id", "src"), "src")
               .groupBy(col("dst").as("doc_id"))
               .agg(min("label").as("nl"))
-            val next = labels.join(viaEdges, Seq("doc_id"), "left")
-              .select(col("doc_id"),
+            // carry the OLD label through the propagation join so the
+            // convergence check is a filter over the cached frame — the
+            // former separate next⋈labels count paid a third join (and
+            // its exchange) per round for a bit of state this join
+            // already had in hand
+            val step = labels.join(viaEdges, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("label").as("old"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
               .persist()
             // FULL count, not limit(1): the convergence job must
-            // materialize every partition of `next` before the parent
+            // materialize every partition of `step` before the parent
             // cache is dropped, or later iterations recompute the whole
             // propagation chain through partially-cached frames
-            val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-              .filter(col("label") =!= col("old")).count()
+            val changed = step.filter(col("label") =!= col("old")).count()
             labels.unpersist()
-            labels = next
+            // keep the PERSISTED frame itself (the stray `old` column is
+            // never referenced downstream) so the next unpersist hits the
+            // real cache entry, not a projection over it
+            labels = step
             converged = changed == 0
             iter += 1
           }

@@ -36,6 +36,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * one costing O(narrow columns): the resolve tax becomes proportional
   * to the columns asked for, exactly like the plain-scan path.
   *
+  * SCOPE (round-6): the rule fires only on the `Project(Aggregate)` and
+  * `Project(Filter(Aggregate))` shapes matched below — a consumer the
+  * fixed point never normalizes to those (a Window or Join directly
+  * over the agg) keeps the full struct. Since round 6 the DEFAULT MoR
+  * read path is the bucket-local [[graft.cdc.BucketBatchScan]], whose
+  * scan-level column pruning covers EVERY consumer shape with no
+  * optimizer rule in the loop; this rule now serves the
+  * `graft.mor.resolve = agg` escape-hatch plan and any user-authored
+  * prefix-tagged argmax.
+  *
   * Safety gates: fires only when every reference to the tagged attribute
   * in the consuming project/filter is a direct `GetStructField` (a whole-
   * struct reference keeps the full struct), only for a plain non-distinct

@@ -101,34 +101,65 @@ object MorBench {
     val (morSec, morRows) = timed(applyAll(tMor))
     require(tMor.currentSnapshot.files.exists(_.delta),
       "MOR twin wrote no delta layers")
-    // READ pricing on the layered state. Three shapes:
-    //  - full: an aggregate that genuinely needs the payload (sum of html
-    //    bytes) — the unavoidable full resolve tax;
-    //  - narrow (pruned): count() — with PruneArgmaxStruct the resolve
-    //    struct drops html/text and the scan stops decoding them;
-    //  - narrow (rule excluded): the same count with the rule disabled
-    //    via spark.sql.optimizer.excludedRules — the counterfactual.
+    // READ pricing on the layered state, A/B over the resolve PATH
+    // (round-6): `local` = the default bucket-local task scan (zero
+    // exchanges, scan-level pruning); `agg` = the groupBy(url) argmax
+    // (one exchange, PruneArgmaxStruct pruning) via the escape hatch.
+    // Read shapes per path:
+    //  - full: an aggregate that genuinely needs the payload (sum of
+    //    html bytes) — the unavoidable full resolve tax;
+    //  - narrow: count() — pruning drops html/text from the scan.
+    // Repetitions are INTERLEAVED across every (path, shape) cell and
+    // reported per-rep (min is the headline): a fixed order let the
+    // later shapes ride the earlier scans' page cache (round-5 advice).
     import org.apache.spark.sql.functions.{col, octet_length, sum}
-    val (morReadFullSec, _) = timed(
-      tMor.readUser().agg(sum(octet_length(col("html")))).collect())
-    val (morReadSec, morCount) = timed(tMor.readUser().count())
-    val ExcludeKey = "spark.sql.optimizer.excludedRules"
-    spark.conf.set(ExcludeKey, "graft.plans.PruneArgmaxStruct")
-    val (morReadUnprunedSec, morCountUnpruned) =
-      try timed(tMor.readUser().count()) finally spark.conf.unset(ExcludeKey)
-    require(morCount == morCountUnpruned,
-      s"pruned read diverged: $morCount vs $morCountUnpruned")
+    val ResolveKey = "graft.mor.resolve"
+    def withPath[A](path: String)(f: => A): A = {
+      spark.conf.set(ResolveKey, path)
+      try f finally spark.conf.unset(ResolveKey)
+    }
+    def readFull(): Long =
+      tMor.readUser().agg(sum(octet_length(col("html")))).head().getLong(0)
+    def readNarrow(): Long = tMor.readUser().count()
+    val cells = Seq(
+      "MOR_READ_FULL_LOCAL" -> (() => withPath("local")(readFull())),
+      "MOR_READ_FULL_AGG" -> (() => withPath("agg")(readFull())),
+      "MOR_READ_NARROW_LOCAL" -> (() => withPath("local")(readNarrow())),
+      "MOR_READ_NARROW_AGG" -> (() => withPath("agg")(readNarrow())))
+    val reps = 3
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val values = scala.collection.mutable.Map[String, Long]()
+    (1 to reps).foreach { _ =>
+      cells.foreach { case (name, f) =>
+        val (sec, v) = timed(f())
+        samples(name) = samples(name) :+ sec
+        values.get(name).foreach(prev => require(prev == v,
+          s"$name diverged across paths/reps: $prev vs $v"))
+        values(name) = v
+      }
+    }
+    require(values("MOR_READ_NARROW_LOCAL") == values("MOR_READ_NARROW_AGG"),
+      "narrow reads diverged between resolve paths")
+    require(values("MOR_READ_FULL_LOCAL") == values("MOR_READ_FULL_AGG"),
+      "full reads diverged between resolve paths")
+    val morCount = values("MOR_READ_NARROW_LOCAL")
     val (foldSec, _) = timed(Maintenance.compact(spark, tMor))
     val (cowReadSec, cowCount) = timed(tCow.readUser().count())
     require(morCount == cowCount,
       s"twins diverged: mor=$morCount cow=$cowCount")
+    val perRep = cells.map { case (n, _) =>
+      s"$n [${samples(n).map(s => f"$s%.2f").mkString(",")}]"
+    }.mkString(" ")
     println(f"MOR_APPLY_SEC $morSec%.2f COW_APPLY_SEC $cowSec%.2f " +
       f"SPEEDUP ${cowSec / morSec}%.1f MOR_ROWS $morRows COW_ROWS $cowRows " +
       f"AMP ${cowRows.toDouble / math.max(1L, morRows)}%.1f " +
-      f"MOR_READ_SEC $morReadSec%.2f " +
-      f"MOR_READ_UNPRUNED_SEC $morReadUnprunedSec%.2f " +
-      f"MOR_READ_FULL_SEC $morReadFullSec%.2f FOLD_SEC $foldSec%.2f " +
-      f"COW_READ_SEC $cowReadSec%.2f")
+      f"MOR_READ_SEC ${samples("MOR_READ_NARROW_LOCAL").min}%.2f " +
+      f"MOR_READ_AGG_SEC ${samples("MOR_READ_NARROW_AGG").min}%.2f " +
+      f"MOR_READ_FULL_SEC ${samples("MOR_READ_FULL_LOCAL").min}%.2f " +
+      f"MOR_READ_FULL_AGG_SEC ${samples("MOR_READ_FULL_AGG").min}%.2f " +
+      f"FOLD_SEC $foldSec%.2f " +
+      f"COW_READ_SEC $cowReadSec%.2f PER_REP $perRep")
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tMor.dir))
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tCow.dir))
     spark.stop()

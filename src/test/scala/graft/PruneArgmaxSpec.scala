@@ -51,18 +51,52 @@ class PruneArgmaxSpec extends AnyFunSuite {
   }
 
   test("narrow projection over layered buckets prunes html/text out of " +
-      "the resolve struct and the scan, and matches the CoW twin") {
+      "the resolve scan, plans ZERO exchanges, and matches the CoW twin") {
     val (mor, cow) = twins("prune-narrow")
     val narrow = mor.readUser().select("url", "lang")
     val plan = planText(narrow)
     assert(!plan.contains("html") && !plan.contains("text"),
       s"narrow read still touches payload columns:\n$plan")
-    // the order prefix must survive the pruning (it decides the argmax)
-    assert(plan.contains("warc_ts") && plan.contains("_lsn"),
-      s"order prefix pruned out of the resolve:\n$plan")
+    // round-6 default: the layered resolve is the bucket-LOCAL task scan
+    // — in-task argmax, no groupBy(url) hash-agg, and therefore no
+    // exchange anywhere in the read (the data is already co-located by
+    // the lake's url-hash bucketing)
+    assert(plan.contains("GraftBucketScan"),
+      s"layered read did not route through the bucket-local scan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"full-table MoR read must plan no exchange below the resolve:\n$plan")
     def rows(t: LakeTable) = t.readUser().select("url", "lang")
       .collect().map(_.toString).toSet
     assert(rows(mor) == rows(cow))
+  }
+
+  test("agg-path escape hatch (graft.mor.resolve=agg): PruneArgmaxStruct " +
+      "prunes the resolve struct, keeps the order prefix, matches the twin") {
+    val (mor, cow) = twins("prune-narrow-agg")
+    spark.conf.set("graft.mor.resolve", "agg")
+    try {
+      val narrow = mor.readUser().select("url", "lang")
+      val plan = planText(narrow)
+      assert(!plan.contains("html") && !plan.contains("text"),
+        s"narrow agg-path read still touches payload columns:\n$plan")
+      // the order prefix must survive the pruning (it decides the argmax)
+      assert(plan.contains("warc_ts") && plan.contains("_lsn"),
+        s"order prefix pruned out of the resolve:\n$plan")
+      def rows(t: LakeTable) = t.readUser().select("url", "lang")
+        .collect().map(_.toString).toSet
+      assert(rows(mor) == rows(cow))
+    } finally spark.conf.unset("graft.mor.resolve")
+  }
+
+  test("bucket-local and agg resolves agree row-for-row on the full width") {
+    val (mor, _) = twins("prune-ab")
+    def all(t: LakeTable) = t.readUser()
+      .withColumn("html", md5(col("html")))
+      .collect().map(_.toString).toSet
+    val local = all(mor)
+    spark.conf.set("graft.mor.resolve", "agg")
+    val agg = try all(mor) finally spark.conf.unset("graft.mor.resolve")
+    assert(local == agg)
   }
 
   test("count over a layered table reads no payload at all") {
