@@ -411,7 +411,7 @@ private[cdc] object ChangelogStartingVersion {
   * [[LakeTable.changeFileTasks]]) shipped to an executor: the after/
   * before file lists. Executors never read lake metadata — each reader
   * resolves its target columns against the parquet file's OWN schema
-  * ([[ParquetRowCodec.GroupToRow]] null-backfills/widens per file).
+  * ([[ParquetRowCodec.RowReadSupport]] null-backfills/widens per file).
   */
 private[cdc] final case class ChangelogPartition(bucket: Int,
     after: Seq[DataFile], before: Seq[DataFile], commitVersion: Int)
@@ -534,14 +534,43 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   }
 
   private def resolveLayers(rows: Iterator[Array[Any]], uI: Int, tsI: Int,
-      lsnI: Int): java.util.HashMap[String, Array[Any]] = {
-    val best = new java.util.HashMap[String, Array[Any]]()
+      lsnI: Int): java.util.HashMap[UTF8String, Array[Any]] = {
+    val best = new java.util.HashMap[UTF8String, Array[Any]]()
     rows.foreach { v =>
-      val url = v(uI).asInstanceOf[UTF8String].toString
+      val url = v(uI).asInstanceOf[UTF8String]
       val cur = best.get(url)
       if (cur == null || beats(v, cur, tsI, lsnI)) best.put(url, v)
     }
     best
+  }
+
+  /** Latest-wins winners of a LAYERED file set, memory-bounded by the
+    * DELTA layers, not the bucket (round-6): the bucket's base files are
+    * unique-url by construction (a CoW rewrite / compaction replaces
+    * them wholesale), so only the delta rows go into the resolve map —
+    * the base files then STREAM through a probe (usually a miss: the
+    * delta set is one batch's hot keys), emitting immediately when the
+    * base row wins and consuming the map entry when a delta superseded
+    * it; un-probed delta entries (new keys) flush after the bases drain.
+    * O(delta rows) map instead of O(bucket rows) — at a 256 MB bucket
+    * with a 1% hot set that is the difference between a few MB and the
+    * whole bucket resident per task.
+    */
+  private def resolvedRows(files: Seq[DataFile], target: StructType,
+      uI: Int, tsI: Int, lsnI: Int): Iterator[Array[Any]] = {
+    import scala.jdk.CollectionConverters._
+    val (deltas, bases) = files.partition(_.delta)
+    val dmap = resolveLayers(
+      deltas.iterator.flatMap(fileRows(_, target)), uI, tsI, lsnI)
+    val baseWinners = bases.iterator.flatMap(fileRows(_, target))
+      .flatMap { v =>
+        val d = dmap.get(v(uI).asInstanceOf[UTF8String])
+        if (d == null) Iterator.single(v)
+        else if (beats(v, d, tsI, lsnI)) {
+          dmap.remove(v(uI).asInstanceOf[UTF8String]); Iterator.single(v)
+        } else Iterator.empty
+      }
+    baseWinners ++ dmap.values().iterator().asScala
   }
 
   // the one parquet reader open right now (files are read strictly
@@ -551,34 +580,31 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   // 'Too many open files' (review r5; the self-closing-on-exhaustion
   // iterator alone only covers fully-drained partitions)
   @volatile private var live: org.apache.parquet.hadoop.ParquetReader[
-    org.apache.parquet.example.data.Group] = null
+    Array[Any]] = null
 
   private def fileRows(f: DataFile, target: StructType): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
-      private val reader = ParquetRowCodec.openReader(
-        f.path, target.fieldNames.toSet, conf)
+      private val reader = ParquetRowCodec.openReader(f.path, target, conf)
       live = reader
-      private var g = reader.read()
-      private var resolver: ParquetRowCodec.GroupToRow = null
-      if (g == null) { reader.close(); live = null }
-      override def hasNext: Boolean = g != null
+      private var v = reader.read()
+      if (v == null) { reader.close(); live = null }
+      override def hasNext: Boolean = v != null
       override def next(): Array[Any] = {
-        if (resolver == null)
-          resolver = new ParquetRowCodec.GroupToRow(target, g.getType)
-        val v = resolver.values(g)
-        g = reader.read()
-        if (g == null) { reader.close(); live = null }
-        v
+        val out = v
+        v = reader.read()
+        if (v == null) { reader.close(); live = null }
+        out
       }
     }
 
-  // before side: keys always; full rows only for CDF legs (read with the
-  // same pruned readTarget as the after side — preimages only need the
-  // output's data columns). A throw mid-drain must not leak the current
-  // file's reader.
-  private val beforeKeys = new java.util.HashSet[(String, Long)]()
-  private val beforeRows: java.util.HashMap[String, Array[Any]] =
-    if (cdf) new java.util.HashMap[String, Array[Any]]() else null
+  // before side: winning (url → lsn) keys always (≤1 winner per url by
+  // the latest-state invariant, so a map IS the key set); full rows only
+  // for CDF legs (read with the same pruned readTarget as the after side
+  // — preimages only need the output's data columns). A throw mid-drain
+  // must not leak the current file's reader.
+  private val beforeLsn = new java.util.HashMap[UTF8String, java.lang.Long]()
+  private val beforeRows: java.util.HashMap[UTF8String, Array[Any]] =
+    if (cdf) new java.util.HashMap[UTF8String, Array[Any]]() else null
   locally {
     // layered non-CDF needs warc_ts for the in-map resolve ordering;
     // plain non-CDF keeps the narrow (url, _lsn) projection
@@ -593,14 +619,12 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
       if (cdf) (urlIdx, tsIdx, lsnIdx)
       else if (layeredBefore) (0, 1, 2) else (0, 1, 1)
     try {
-      val rows = p.before.iterator.flatMap(fileRows(_, target))
-      if (layeredBefore) resolveLayers(rows, u, t, l).forEach { (url, v) =>
-        beforeKeys.add((url, v(l).asInstanceOf[Long]))
-        if (cdf) beforeRows.put(url, v)
-      }
-      else rows.foreach { v =>
-        val url = v(u).asInstanceOf[UTF8String].toString
-        beforeKeys.add((url, v(l).asInstanceOf[Long]))
+      val rows =
+        if (layeredBefore) resolvedRows(p.before, target, u, t, l)
+        else p.before.iterator.flatMap(fileRows(_, target))
+      rows.foreach { v =>
+        val url = v(u).asInstanceOf[UTF8String]
+        beforeLsn.put(url, v(l).asInstanceOf[Long])
         if (cdf) beforeRows.put(url, v)
       }
     } catch { case t: Throwable => close(); throw t }
@@ -632,23 +656,21 @@ private[cdc] final class ChangelogPartitionReader(p: ChangelogPartition,
   }
 
   private val rows: Iterator[InternalRow] = {
-    val afterRaw = p.after.iterator.flatMap(fileRows(_, readTarget))
     val after =
-      if (!layeredAfter) afterRaw
-      else try {
-        // materialize the after side's per-url winners (bucket-local,
-        // bucket-sized); superseded layer rows must never reach the diff
-        import scala.jdk.CollectionConverters._
-        resolveLayers(afterRaw, urlIdx, tsIdx, lsnIdx).values().iterator().asScala
-      } catch { case t: Throwable => close(); throw t }
+      if (!layeredAfter) p.after.iterator.flatMap(fileRows(_, readTarget))
+      else try
+        // the after side's per-url winners: delta layers in the map,
+        // base files streamed through the probe (superseded layer rows
+        // never reach the diff)
+        resolvedRows(p.after, readTarget, urlIdx, tsIdx, lsnIdx)
+      catch { case t: Throwable => close(); throw t }
     val moved = after.filter { v =>
-      !beforeKeys.contains(
-        (v(urlIdx).asInstanceOf[UTF8String].toString,
-          v(lsnIdx).asInstanceOf[Long]))
+      val l = beforeLsn.get(v(urlIdx).asInstanceOf[UTF8String])
+      l == null || l.longValue != v(lsnIdx).asInstanceOf[Long]
     }
     if (!cdf) moved.map(v => emit(v, null))
     else moved.flatMap { a =>
-      val pre = beforeRows.get(a(urlIdx).asInstanceOf[UTF8String].toString)
+      val pre = beforeRows.get(a(urlIdx).asInstanceOf[UTF8String])
       val aliveA = alive(a)
       val aliveP = pre != null && alive(pre)
       if (aliveA && aliveP) // changed state on both sides: an update

@@ -3,12 +3,12 @@ package graft.cdc
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroup
-import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
-import org.apache.parquet.io.api.{Binary, RecordMaterializer}
+import org.apache.parquet.io.api.{
+  Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
 import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, Type, Types}
@@ -68,13 +68,22 @@ private[graft] object ParquetRowCodec {
 
   // ---------- read side ----------
 
-  /** Column-projecting Group read support: keeps only `wanted` fields of
-    * the file's own schema (by name), so unread columns never leave the
-    * parquet column store — the reader-side analog of Catalyst column
-    * pruning.
+  /** Column-projecting DIRECT-to-row read support (round-6): materializes
+    * each record straight into an `Array[Any]` laid out by the caller's
+    * `target` StructType — no intermediate `SimpleGroup` (whose per-field
+    * ArrayLists and boxing made the original Group path ~3× slower than
+    * Spark's vectorized reader on narrow columns; measured via MorBench's
+    * local-vs-agg A/B). Field mapping is by NAME against the file's own
+    * schema: fields the file lacks stay null (schema-evolution
+    * null-backfill), present fields widen per the registry rules, and
+    * only `target`'s fields are requested from the column store (the
+    * reader-side analog of Catalyst column pruning). Dictionary-encoded
+    * binary/string columns convert each dictionary entry ONCE and reuse
+    * it per row.
     */
-  final class ProjectingGroupReadSupport(wanted: Set[String])
-      extends ReadSupport[Group] {
+  final class RowReadSupport(target: StructType)
+      extends ReadSupport[Array[Any]] {
+    private val wanted: Set[String] = target.fieldNames.toSet
     override def init(context: InitContext): ReadSupport.ReadContext = {
       val fs = context.getFileSchema
       val kept = fs.getFields.asScala.filter(f => wanted.contains(f.getName))
@@ -82,82 +91,121 @@ private[graft] object ParquetRowCodec {
     }
     override def prepareForRead(conf: Configuration,
         meta: java.util.Map[String, String], fileSchema: MessageType,
-        ctx: ReadSupport.ReadContext): RecordMaterializer[Group] =
-      new GroupRecordConverter(ctx.getRequestedSchema)
+        ctx: ReadSupport.ReadContext): RecordMaterializer[Array[Any]] =
+      new RowMaterializer(ctx.getRequestedSchema, target)
   }
 
-  def openReader(path: String, wanted: Set[String],
-      conf: Configuration): ParquetReader[Group] =
-    ParquetReader.builder(new ProjectingGroupReadSupport(wanted),
-      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
-
-  /** Per-file-schema resolver: maps a target StructType onto a Group's
-    * own (projected) schema once, then converts row-by-row. Fields the
-    * file lacks stay null (schema evolution null-backfill); present
-    * fields widen per the registry rules.
-    */
-  final class GroupToRow(target: StructType, fileSchema: GroupType) {
-    private val converters: Array[(Group, Int) => Any] =
-      target.fields.map(f => conv(f.dataType, f.name, fileSchema))
-    private val indices: Array[Int] = target.fields.map(f =>
-      if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name)
-      else -1)
-
-    def values(g: Group): Array[Any] = {
-      val out = new Array[Any](indices.length)
-      var i = 0
-      while (i < indices.length) {
-        val fi = indices(i)
-        if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
-          out(i) = converters(i)(g, fi)
-        i += 1
-      }
-      out
-    }
+  private final class RowMaterializer(requested: MessageType,
+      target: StructType) extends RecordMaterializer[Array[Any]] {
+    private val root = new RowGroupConverter(requested, target)
+    override def getCurrentRecord: Array[Any] = root.current
+    override def getRootConverter: GroupConverter = root
   }
 
-  private def conv(target: DataType, name: String,
-      fs: GroupType): (Group, Int) => Any = {
-    if (!fs.containsField(name)) return (_, _) => null
-    val pt = fs.getType(name)
-    require(pt.isPrimitive, s"ParquetRowCodec: non-scalar column '$name' " +
-      s"(${pt}) is outside the lake's streaming column universe")
-    val prim = pt.asPrimitiveType.getPrimitiveTypeName
+  private final class RowGroupConverter(requested: MessageType,
+      target: StructType) extends GroupConverter {
+    var current: Array[Any] = _
+    private val fields: Array[Converter] =
+      requested.getFields.asScala.map { f =>
+        fieldConverter(this, target.fieldIndex(f.getName),
+          target(f.getName).dataType, f)
+      }.toArray
+    override def getConverter(i: Int): Converter = fields(i)
+    // a FRESH array per record: consumers buffer rows (layer-resolve
+    // maps, before-side key sets), so the holder must never be recycled
+    override def start(): Unit = { current = new Array[Any](target.length) }
+    override def end(): Unit = ()
+  }
+
+  private def fieldConverter(row: RowGroupConverter, ti: Int,
+      target: DataType, f: Type): Converter = {
+    require(f.isPrimitive, s"ParquetRowCodec: non-scalar column " +
+      s"'${f.getName}' ($f) is outside the lake's streaming column universe")
+    val prim = f.asPrimitiveType.getPrimitiveTypeName
     def unsupported = throw new UnsupportedOperationException(
       s"ParquetRowCodec: cannot read parquet $prim as Spark $target " +
-        s"for column '$name'")
+        s"for column '${f.getName}'")
+    // binary/string converters opt into dictionary decoding: each
+    // dictionary entry converts once, rows then reuse the object
+    abstract class DictConverter extends PrimitiveConverter {
+      protected var dict: Array[AnyRef] = _
+      protected def convertEntry(b: Binary): AnyRef
+      override def hasDictionarySupport: Boolean = true
+      override def setDictionary(
+          d: org.apache.parquet.column.Dictionary): Unit = {
+        dict = new Array[AnyRef](d.getMaxId + 1)
+        var i = 0
+        while (i < dict.length) { dict(i) = convertEntry(d.decodeToBinary(i)); i += 1 }
+      }
+      override def addValueFromDictionary(id: Int): Unit =
+        row.current(ti) = dict(id)
+    }
     (target, prim) match {
       case (StringType, PrimitiveTypeName.BINARY) =>
-        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        new DictConverter {
+          override protected def convertEntry(b: Binary): AnyRef =
+            UTF8String.fromBytes(b.getBytes)
+          override def addBinary(b: Binary): Unit =
+            row.current(ti) = UTF8String.fromBytes(b.getBytes)
+        }
       case (BinaryType, PrimitiveTypeName.BINARY |
           PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY) =>
-        (g, i) => g.getBinary(i, 0).getBytes
-      case (LongType, PrimitiveTypeName.INT64) => (g, i) => g.getLong(i, 0)
+        new DictConverter {
+          override protected def convertEntry(b: Binary): AnyRef = b.getBytes
+          override def addBinary(b: Binary): Unit =
+            row.current(ti) = b.getBytes
+        }
+      case (LongType, PrimitiveTypeName.INT64) =>
+        new PrimitiveConverter {
+          override def addLong(v: Long): Unit = row.current(ti) = v
+        }
       case (LongType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0).toLong
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v.toLong
+        }
       case (IntegerType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0)
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v
+        }
       case (ShortType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0).toShort
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v.toShort
+        }
       case (ByteType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0).toByte
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v.toByte
+        }
       case (DoubleType, PrimitiveTypeName.DOUBLE) =>
-        (g, i) => g.getDouble(i, 0)
+        new PrimitiveConverter {
+          override def addDouble(v: Double): Unit = row.current(ti) = v
+        }
       case (DoubleType, PrimitiveTypeName.FLOAT) =>
-        (g, i) => g.getFloat(i, 0).toDouble
+        new PrimitiveConverter {
+          override def addFloat(v: Float): Unit = row.current(ti) = v.toDouble
+        }
       case (DoubleType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0).toDouble
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v.toDouble
+        }
       case (DoubleType, PrimitiveTypeName.INT64) =>
-        (g, i) => g.getLong(i, 0).toDouble
+        new PrimitiveConverter {
+          override def addLong(v: Long): Unit = row.current(ti) = v.toDouble
+        }
       case (FloatType, PrimitiveTypeName.FLOAT) =>
-        (g, i) => g.getFloat(i, 0)
+        new PrimitiveConverter {
+          override def addFloat(v: Float): Unit = row.current(ti) = v
+        }
       case (BooleanType, PrimitiveTypeName.BOOLEAN) =>
-        (g, i) => g.getBoolean(i, 0)
+        new PrimitiveConverter {
+          override def addBoolean(v: Boolean): Unit = row.current(ti) = v
+        }
       case (DateType, PrimitiveTypeName.INT32) =>
-        (g, i) => g.getInteger(i, 0)
+        new PrimitiveConverter {
+          override def addInt(v: Int): Unit = row.current(ti) = v
+        }
       case (TimestampType, PrimitiveTypeName.INT64) =>
         val toMicros: Long => Long =
-          pt.getLogicalTypeAnnotation match {
+          f.getLogicalTypeAnnotation match {
             case t: TimestampLogicalTypeAnnotation => t.getUnit match {
               case TimeUnit.MILLIS => _ * 1000L
               case TimeUnit.MICROS => identity
@@ -165,20 +213,30 @@ private[graft] object ParquetRowCodec {
             }
             case _ => identity // our own writes are always annotated MICROS
           }
-        (g, i) => toMicros(g.getLong(i, 0))
+        new PrimitiveConverter {
+          override def addLong(v: Long): Unit = row.current(ti) = toMicros(v)
+        }
       case (TimestampType, PrimitiveTypeName.INT96) =>
         // legacy Spark INT96: 8 bytes nanos-of-day LE + 4 bytes julian day
-        (g, i) => {
-          val bytes = g.getInt96(i, 0).getBytes
-          val buf = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nanosOfDay = buf.getLong
-          val julianDay = buf.getInt
-          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+        new PrimitiveConverter {
+          private def micros(b: Binary): Long = {
+            val buf = java.nio.ByteBuffer.wrap(b.getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong
+            val julianDay = buf.getInt
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+          }
+          override def addBinary(b: Binary): Unit =
+            row.current(ti) = micros(b)
         }
       case _ => unsupported
     }
   }
+
+  def openReader(path: String, target: StructType,
+      conf: Configuration): ParquetReader[Array[Any]] =
+    ParquetReader.builder(new RowReadSupport(target),
+      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
 
   // ---------- write side (sink staging) ----------
 
