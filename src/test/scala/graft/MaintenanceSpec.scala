@@ -42,6 +42,62 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.readUser().count() > 0)
   }
 
+  test("MoR delta gc across expiry: a retained layered snapshot keeps its " +
+      "delta files through gc; expiring past the fold frees exactly them") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("mor-gc")
+    val t = LakeTable.create(spark, dir, schemaId = 3, numBuckets = 4)
+    t.updateProperties(Map("write-mode" -> "mor"))
+    val ev = ChangeGen.events(spark, ChangeGen.Config(nEvents = 1500,
+      nDomains = 10, pagesPerDomain = 8, v1Frac = 0.0, v2Frac = 0.0)).cache()
+    (0 until 3).foreach { e =>
+      Merge.applyBatch(spark, t,
+        ev.filter(col("lsn") >= e * 500 && col("lsn") < (e + 1) * 500),
+        e.toLong, 3)
+    }
+    val layeredV = t.currentVersion // epochs 0-2 stacked as delta layers
+    val layeredSnap = t.snapshot(layeredV)
+    assert(layeredSnap.files.exists(_.delta))
+    val layeredContent = t.readUser(layeredSnap).orderBy("url")
+      .select("url", "lang").collect().toSeq
+    val deltaPaths = layeredSnap.files.filter(_.delta).map(_.path)
+    Maintenance.compact(spark, t) // fold: current refs no deltas
+    val foldV = t.currentVersion
+    Merge.applyBatch(spark, t, ev.filter(col("lsn") >= 1200), 3L, 3)
+    ev.unpersist()
+    val lastV = t.currentVersion
+
+    // expire everything BEFORE the layered snapshot; it stays retained
+    Maintenance.expireSnapshots(t, keepLast = lastV - layeredV + 1)
+    def parquetFiles() = dataFiles(dir).filter(_.endsWith(".parquet")).toSet
+    val dataBefore = parquetFiles()
+    // gc may collect expired manifests and writer sidecars (_SUCCESS/.crc)
+    Maintenance.gc(t, minAgeMs = 0L)
+    assert(parquetFiles() == dataBefore,
+      "gc must delete no DATA file while the layered snapshot still " +
+        "references every pre-fold base and delta layer (MoR commits are " +
+        "additive, so expired earlier stack states reference no extra files)")
+    deltaPaths.foreach(p => assert(Files.exists(Paths.get(p)),
+      s"retained layered snapshot's delta file was collected: $p"))
+    // time travel to the retained layered snapshot still resolves layers
+    assert(t.readUser(t.snapshot(layeredV)).orderBy("url")
+      .select("url", "lang").collect().toSeq == layeredContent)
+
+    // now expire past the fold boundary: the delta stack becomes
+    // unreferenced and gc must free exactly the no-longer-referenced set
+    Maintenance.expireSnapshots(t, keepLast = lastV - foldV + 1)
+    val removed = Maintenance.gc(t, minAgeMs = 0L)
+    assert(removed > 0)
+    deltaPaths.foreach(p => assert(!Files.exists(Paths.get(p)),
+      s"unreferenced pre-fold delta survived gc: $p"))
+    // every file a retained snapshot references is intact and readable
+    val retained = t.existingVersions.map(t.snapshot)
+    retained.flatMap(_.files).foreach(f =>
+      assert(Files.exists(Paths.get(f.path))))
+    assert(t.readUser().count() > 0)
+    assert(t.readUser(t.snapshot(foldV)).count() > 0)
+  }
+
   test("incremental compaction rewrites ONLY buckets churned since the last read-optimize") {
     import org.apache.spark.sql.functions.col
     val dir = TestSpark.tempDir("maint-inc")
