@@ -47,6 +47,39 @@ object CdcQueries {
 
   private def freshMergeEventsDir: String = fresh(mergeEventsDir)
 
+  /** Pipelined table-independent prep — the replay/tail drivers' shape
+    * (guide §2.6, overlap independent jobs): the per-epoch key argmax and
+    * winners semi-join never read the table, so kick off their
+    * materialization for EVERY epoch up front and let epoch k+1's narrow
+    * scans overlap epoch k's resolve+write instead of serializing behind
+    * it. Handover follows the replay contract exactly: an in-flight
+    * prefetch hands over normally (persist() dedups the concurrent
+    * materialization); one that already FAILED is dropped so applyBatch
+    * recomputes on the critical path. applyBatch unpersists handed-over
+    * plans itself; semantics are unchanged (preparedKeys/preparedWinners
+    * are the same inputs the streaming drivers pass).
+    */
+  private def prepareAhead(batches: Seq[DataFrame])
+      : Seq[(DataFrame, DataFrame, scala.concurrent.Future[_])] = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    batches.map { b =>
+      val pk = Merge.prepareKeys(b).persist()
+      val win = Merge.prepareWinners(b, pk).persist()
+      val fut = Future { pk.count(); win.count() }
+      fut.failed.foreach { _ => pk.unpersist(); win.unpersist() }
+      (pk, win, fut)
+    }
+  }
+
+  /** Prepared-plan pair for applyBatch, or (None, None) if its prefetch
+    * already failed (the replay drivers' gate).
+    */
+  private def handover(p: (DataFrame, DataFrame, scala.concurrent.Future[_]))
+      : (Option[DataFrame], Option[DataFrame]) =
+    if (p._3.value.exists(_.isFailure)) (None, None)
+    else (Some(p._1), Some(p._2))
+
   private def asChangeLog(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").select(
       col("event_id").as("lsn"),
@@ -74,19 +107,26 @@ object CdcQueries {
         // verify vs a local bench) from clobbering each other's table
         val tableDir = freshMergeEventsDir
         val t = LakeTable.create(s, tableDir, schemaId = 3, numBuckets = 8)
-        Seq(
+        val batches = Seq(
           log.filter(col("lsn") <= cut1),
           log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
-          log.filter(col("lsn") > cut2)
-        ).zipWithIndex.foreach { case (batch, epoch) =>
+          log.filter(col("lsn") > cut2))
+        // round-6: every epoch's keys+winners materialize in the
+        // background up front, so epoch k+1's narrow scans overlap epoch
+        // k's resolve+write (the replay driver's pipeline, applied to the
+        // lifecycle query itself)
+        val prep = prepareAhead(batches)
+        batches.zipWithIndex.foreach { case (batch, epoch) =>
           // Catalyst's size estimate (same policy as CdcStream.tail): each
           // third-of-the-log batch is table-sized, so the merge takes the
           // full-rewrite path and runs its lineage stats ASYNC instead of
           // paying the prune path's blocking stats barrier (~1 s/batch
           // here)
           val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val (pk, win) = handover(prep(epoch))
           Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
-            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+            preparedKeys = pk, preparedWinners = win)
         }
         log.unpersist()
         t.readUser().select(
@@ -174,13 +214,22 @@ object CdcQueries {
         val t = LakeTable.create(s, fresh(rebaseDir), schemaId = 3,
           numBuckets = 8)
         val rebases0 = LakeTable.commitRebases.get()
+        // both racers' table-independent plans prepared concurrently up
+        // front (the rival's scans overlap the resident's whole pre-commit
+        // phase; semantics unchanged — see prepareAhead)
+        val prep = prepareAhead(Seq(outer, rival))
         val noop: () => Unit = () => ()
         Merge.beforeCommitHook = () => {
           Merge.beforeCommitHook = noop // the rival must not re-fire it
-          Merge.applyBatch(s, t, rival, 1L, batchSchemaVersion = 3)
+          val (pk, win) = handover(prep(1))
+          Merge.applyBatch(s, t, rival, 1L, batchSchemaVersion = 3,
+            preparedKeys = pk, preparedWinners = win)
         }
-        try Merge.applyBatch(s, t, outer, 2L, batchSchemaVersion = 3)
-        finally Merge.beforeCommitHook = noop
+        try {
+          val (pk, win) = handover(prep(0))
+          Merge.applyBatch(s, t, outer, 2L, batchSchemaVersion = 3,
+            preparedKeys = pk, preparedWinners = win)
+        } finally Merge.beforeCommitHook = noop
         log.unpersist()
         require(LakeTable.commitRebases.get() > rebases0,
           "cdc_rebase_race: the disjoint race was not salvaged by rebase")
@@ -217,12 +266,18 @@ object CdcQueries {
         val t = LakeTable.create(s, fresh(morDir), schemaId = 3,
           numBuckets = 8)
         t.updateProperties(Map("write-mode" -> "mor"))
-        Seq(
+        val batches = Seq(
           log.filter(col("lsn") <= cut1),
           log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
-          log.filter(col("lsn") > cut2)
-        ).zipWithIndex.foreach { case (batch, epoch) =>
-          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+          log.filter(col("lsn") > cut2))
+        // pipelined prep (see cdc_merge_events): on this prune-path query
+        // the blocking per-batch stats agg then runs over an
+        // already-materialized cached key plan
+        val prep = prepareAhead(batches)
+        batches.zipWithIndex.foreach { case (batch, epoch) =>
+          val (pk, win) = handover(prep(epoch))
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
+            preparedKeys = pk, preparedWinners = win)
         }
         log.unpersist()
         require(t.currentSnapshot.files.exists(_.delta),
@@ -259,10 +314,13 @@ object CdcQueries {
         val t = LakeTable.create(s, fresh(morNarrowDir), schemaId = 3,
           numBuckets = 8)
         t.updateProperties(Map("write-mode" -> "mor"))
-        Seq(log.filter(col("lsn") <= maxLsn / 2),
-          log.filter(col("lsn") > maxLsn / 2)).zipWithIndex.foreach {
-          case (batch, epoch) =>
-            Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3)
+        val batches = Seq(log.filter(col("lsn") <= maxLsn / 2),
+          log.filter(col("lsn") > maxLsn / 2))
+        val prep = prepareAhead(batches)
+        batches.zipWithIndex.foreach { case (batch, epoch) =>
+          val (pk, win) = handover(prep(epoch))
+          Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
+            preparedKeys = pk, preparedWinners = win)
         }
         log.unpersist()
         require(t.currentSnapshot.files.exists(_.delta),
@@ -310,15 +368,23 @@ object CdcQueries {
         val dstDir = fresh(replDstDir)
         val ckpt = fresh(replCkptDir)
         val t = LakeTable.create(s, srcDir, schemaId = 3, numBuckets = 8)
-        def land(batch: DataFrame, epoch: Long): Unit = {
+        val batches = Seq(log.filter(col("lsn") <= cut),
+          log.filter(col("lsn") > cut))
+        // epoch 1's table-independent scans overlap drain 1's whole
+        // streaming micro-batch (see prepareAhead)
+        val prep = prepareAhead(batches)
+        def land(i: Int, epoch: Long): Unit = {
+          val batch = batches(i)
           val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val (pk, win) = handover(prep(i))
           Merge.applyBatch(s, t, batch, epoch, batchSchemaVersion = 3,
-            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+            preparedKeys = pk, preparedWinners = win)
         }
-        land(log.filter(col("lsn") <= cut), 0L)
+        land(0, 0L)
         graft.cdc.ChangeFeed.replicateStream(s, srcDir, dstDir, ckpt)
           .awaitTermination() // drain 1: full-snapshot bootstrap
-        land(log.filter(col("lsn") > cut), 1L)
+        land(1, 1L)
         graft.cdc.ChangeFeed.replicateStream(s, srcDir, dstDir, ckpt)
           .awaitTermination() // drain 2: incremental delta, same checkpoint
         log.unpersist()
@@ -353,14 +419,17 @@ object CdcQueries {
         val cut2 = 2 * maxLsn / 3
         val t = LakeTable.create(s, fresh(cdfDir), schemaId = 3,
           numBuckets = 8)
-        Seq(
+        val batches = Seq(
           log.filter(col("lsn") <= cut1),
           log.filter(col("lsn") > cut1 && col("lsn") <= cut2),
-          log.filter(col("lsn") > cut2)
-        ).zipWithIndex.foreach { case (batch, epoch) =>
+          log.filter(col("lsn") > cut2))
+        val prep = prepareAhead(batches)
+        batches.zipWithIndex.foreach { case (batch, epoch) =>
           val hint = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val (pk, win) = handover(prep(epoch))
           Merge.applyBatch(s, t, batch, epoch.toLong, batchSchemaVersion = 3,
-            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong))
+            batchBytesHint = Some(hint.min(BigInt(Long.MaxValue)).toLong),
+            preparedKeys = pk, preparedWinners = win)
         }
         log.unpersist()
         t.changesBetweenCdf(2, 3).select(

@@ -70,6 +70,14 @@ object MultimodalQueries {
 
     val Side = 8
 
+    // ImageIO's default ImageInputStream/ImageOutputStream cache is a
+    // DISK temp file — every encode+decode call created and deleted two
+    // /tmp files, serializing 2 file ops per row on fs metadata (and
+    // making the query's wall track disk pressure, not codec work). The
+    // images here are 8×8: memory caching is strictly better, and the
+    // decoded bytes are identical either way.
+    ImageIO.setUseCache(false)
+
     def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
       ((id * 31 + x * 7 + y * 13) % 256).toInt,
       ((id * 17 + x * 11 + y * 3) % 256).toInt,
