@@ -396,26 +396,38 @@ object SimilarityQueries {
       df.withColumn(s"b$t", bucketOf(col("e"), t, nPlanes))
     }
     // norm hoisted ONCE per row before the self-joins: inside a join each
-    // of a hot bucket's O(m²) pairs would redo two 128-element self-dots
+    // of a hot bucket's O(m²) pairs would redo two 128-element self-dots.
+    // PERSISTED across the self-joins (round-6, the d3/d5
+    // lshCandidatePairsFrom discipline): this subplan is referenced by
+    // 2 tables × 2 join sides — uncached, the scan, the planted-copy
+    // noise (one md5 per component per row) and every bucket/norm dot
+    // product ran 4× over (8 parquet scans in the d6 physical plan). The
+    // O(near-dups) pair set is materialized reliably and the cache
+    // released before returning, so long-lived sessions do not accrete
+    // storage.
     val normed = bucketed.withColumn("n", sqrt(dot(col("e"), col("e"))))
-    val perTable = (0 until nTables).map { t =>
-      val a = normed.select(col("vec_id").as("id_a"), col("e").as("ea"),
-        col("n").as("na"), col(s"b$t").as("bk"))
-      val b = normed.select(col("vec_id").as("id_b"), col("e").as("eb"),
-        col("n").as("nb"), col(s"b$t").as("bk"))
-      a.join(b, Seq("bk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim",
-          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-        .filter(col("sim") >= 0.7)
-        .select(col("id_a"), col("id_b"), col("sim"))
-    }
-    // a pair found by several tables is one result row: the sims are
-    // identical by construction, so max() under a pair-key hash-agg
-    // dedups without another join
-    perTable.reduce(_ unionByName _)
-      .groupBy("id_a", "id_b")
-      .agg(max("sim").as("sim"))
+      .persist()
+    try {
+      val perTable = (0 until nTables).map { t =>
+        val a = normed.select(col("vec_id").as("id_a"), col("e").as("ea"),
+          col("n").as("na"), col(s"b$t").as("bk"))
+        val b = normed.select(col("vec_id").as("id_b"), col("e").as("eb"),
+          col("n").as("nb"), col(s"b$t").as("bk"))
+        a.join(b, Seq("bk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim",
+            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+          .filter(col("sim") >= 0.7)
+          .select(col("id_a"), col("id_b"), col("sim"))
+      }
+      // a pair found by several tables is one result row: the sims are
+      // identical by construction, so max() under a pair-key hash-agg
+      // dedups without another join
+      materialize(
+        perTable.reduce(_ unionByName _)
+          .groupBy("id_a", "id_b")
+          .agg(max("sim").as("sim")))
+    } finally normed.unpersist()
   }
 
   def defs: Seq[QueryDef] = Seq(
