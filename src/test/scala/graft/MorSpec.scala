@@ -284,6 +284,36 @@ class MorSpec extends AnyFunSuite {
     assert(t.currentSnapshot.files.exists(f => !f.delta))
   }
 
+  test("single-delta buckets (one epoch over a fresh table) take the " +
+      "changelog fast path: changesBetween/CDF parity with the CoW twin") {
+    // r5 advice #4: the per-side needsResolve fast path streams a single
+    // delta file (unique urls by construction) instead of materializing a
+    // resolve map — pin it with a table whose EVERY bucket is exactly one
+    // delta over an empty before side.
+    val ev = log(1500).cache()
+    val mor = morTable("mor-single")
+    val cow = LakeTable.create(spark, TestSpark.tempDir("mor-single-twin"),
+      schemaId = 3, numBuckets = 16)
+    Merge.applyBatch(spark, mor, ev, 1L, 3)
+    Merge.applyBatch(spark, cow, ev, 1L, 3)
+    ev.unpersist()
+    val files = mor.currentSnapshot.files
+    assert(files.nonEmpty && files.forall(_.delta),
+      "fixture must be all-delta (one MoR epoch over a fresh table)")
+    assert(files.groupBy(_.bucket).values.forall(_.size == 1),
+      "fixture must hold exactly one delta file per bucket")
+    val mv = mor.currentVersion // create, property, merge
+    val cv = cow.currentVersion // create, merge
+    // incremental leg: before side EMPTY, after side exactly one delta
+    assert(keyedRows(mor.changesBetween(mv - 1, mv)) ==
+      keyedRows(cow.changesBetween(cv - 1, cv)))
+    assert(keyedRows(mor.changesBetweenCdf(mv - 1, mv).drop("_commit_version")) ==
+      keyedRows(cow.changesBetweenCdf(cv - 1, cv).drop("_commit_version")))
+    // bootstrap leg: one task per (single delta) file
+    assert(keyedRows(mor.changesBetween(-1, mv)) ==
+      keyedRows(cow.changesBetween(-1, cv)))
+  }
+
   test("streaming replication (graft-changelog -> graft-lake) over a MoR " +
       "source converges; the layered bucket-task path engages") {
     val ev = log(3000).cache()

@@ -109,6 +109,27 @@ class PruneArgmaxSpec extends AnyFunSuite {
       s"count still decodes payload:\n$plan")
   }
 
+  test("a Window over a narrow projection still prunes payload on the " +
+      "default bucket-local path (scan-level pruning covers every " +
+      "consumer shape)") {
+    // r5 verdict #5: an intervening operator Catalyst does not collapse
+    // into Project/Filter-over-Aggregate must not silently decode html.
+    // The default read path prunes at the SCAN (DSv2 column pushdown),
+    // so the consumer shape above is irrelevant by construction.
+    import org.apache.spark.sql.expressions.Window
+    val (mor, cow) = twins("prune-window")
+    def windowed(t: LakeTable) = t.readUser().select("url", "lang")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("lang").orderBy("url")))
+    val plan = planText(windowed(mor))
+    assert(!plan.contains("html") && !plan.contains("text"),
+      s"windowed narrow read decodes payload on the default path:\n$plan")
+    assert(plan.contains("GraftBucketScan"),
+      s"layered read did not route through the bucket-local scan:\n$plan")
+    def rows(t: LakeTable) = windowed(t).collect().map(_.toString).toSet
+    assert(rows(mor) == rows(cow))
+  }
+
   test("full-width read keeps every payload field and stays " +
       "byte-identical to the CoW twin") {
     val (mor, cow) = twins("prune-full")
