@@ -235,7 +235,17 @@ object SimilarityQueries {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(graft.core.Fs.scratchDir("graft-ckpt"))
-    df.checkpoint(eager = true)
+    // persist BEFORE checkpointing (round-6): a bare eager checkpoint
+    // computes the plan TWICE — once for the eager action and once when
+    // ReliableRDDCheckpointData re-runs the DAG to write the files (the
+    // Spark API doc's own warning). Cache substitution is applied when
+    // this dataset's physical plan is first forced, so with the persist
+    // the eager action fills the cache and the checkpoint write re-reads
+    // it: one real compute. The cache is dropped immediately — the
+    // returned frame reads the checkpoint files.
+    val cached = df.persist()
+    try cached.checkpoint(eager = true)
+    finally cached.unpersist()
   }
 
   /** LSH near-dup candidate pairs (doc_a < doc_b sharing a full band),
@@ -397,37 +407,32 @@ object SimilarityQueries {
     }
     // norm hoisted ONCE per row before the self-joins: inside a join each
     // of a hot bucket's O(m²) pairs would redo two 128-element self-dots.
-    // PERSISTED across the self-joins (round-6, the d3/d5
-    // lshCandidatePairsFrom discipline): this subplan is referenced by
-    // 2 tables × 2 join sides — uncached, the scan, the planted-copy
-    // noise (one md5 per component per row) and every bucket/norm dot
-    // product ran 4× over (8 parquet scans in the d6 physical plan). The
-    // O(near-dups) pair set is materialized reliably and the cache
-    // released before returning, so long-lived sessions do not accrete
-    // storage.
+    // DELIBERATELY NOT persisted (round-6, measured both ways): the
+    // subplan is referenced by 2 tables × 2 join sides and recomputed per
+    // leg — but all 8 legs execute CONCURRENTLY inside the one job this
+    // query plans, so the redundancy costs idle-core time, not wall,
+    // while the cached form serializes into fill-cache → join →
+    // materialize job barriers and measured ~1.5× slower at the bench
+    // scale (BenchExtra same-window A/B; details in OPTIMIZATION_r06.md).
     val normed = bucketed.withColumn("n", sqrt(dot(col("e"), col("e"))))
-      .persist()
-    try {
-      val perTable = (0 until nTables).map { t =>
-        val a = normed.select(col("vec_id").as("id_a"), col("e").as("ea"),
-          col("n").as("na"), col(s"b$t").as("bk"))
-        val b = normed.select(col("vec_id").as("id_b"), col("e").as("eb"),
-          col("n").as("nb"), col(s"b$t").as("bk"))
-        a.join(b, Seq("bk"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim",
-            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-          .filter(col("sim") >= 0.7)
-          .select(col("id_a"), col("id_b"), col("sim"))
-      }
-      // a pair found by several tables is one result row: the sims are
-      // identical by construction, so max() under a pair-key hash-agg
-      // dedups without another join
-      materialize(
-        perTable.reduce(_ unionByName _)
-          .groupBy("id_a", "id_b")
-          .agg(max("sim").as("sim")))
-    } finally normed.unpersist()
+    val perTable = (0 until nTables).map { t =>
+      val a = normed.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("n").as("na"), col(s"b$t").as("bk"))
+      val b = normed.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("n").as("nb"), col(s"b$t").as("bk"))
+      a.join(b, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim",
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.7)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }
+    // a pair found by several tables is one result row: the sims are
+    // identical by construction, so max() under a pair-key hash-agg
+    // dedups without another join
+    perTable.reduce(_ unionByName _)
+      .groupBy("id_a", "id_b")
+      .agg(max("sim").as("sim"))
   }
 
   def defs: Seq[QueryDef] = Seq(
