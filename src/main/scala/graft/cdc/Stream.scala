@@ -242,6 +242,15 @@ object CdcStream {
     // onQueryStarted (delivered synchronously with start()): registering
     // after start raced a fast first AvailableNow micro-batch, silently
     // dropping its progress line (round-2 advice)
+    // prefetch batch 0 BEFORE the stream starts (round-6): the first
+    // trigger otherwise pays the un-overlapped key+winners scans ON TOP
+    // of Spark's stream-start planning (measured: first tail batch ~3x
+    // steady state). On a fresh checkpoint the oldest-files prediction
+    // is exactly batch 0's file set; on a RESUMED checkpoint `seen` is
+    // still empty here (it recovers inside the first foreachBatch), so
+    // the prediction is wrong and the exact file-set handover gate
+    // discards it — one wasted background scan, never a misapply.
+    prefetchNext()
     val queryName = s"graft-tail-${java.util.UUID.randomUUID().toString.take(8)}"
     val remove = attachProgressSink(spark, queryName, tableDir,
       // a prediction left over when the query ends (stop mid-drain, a
